@@ -1,0 +1,126 @@
+"""On-device box decoding from dense score maps (fixed-shape, jittable).
+
+Capability parity with the reference's NumPy decode (models/utils.py:4-100):
+threshold the per-template sigmoid probabilities, recover anchor geometry
+from the receptive-field grid, apply the regression refinement
+    cx' = cx + w*tx,   w' = w*exp(tw)   (and likewise for y/h),
+and rescale boxes back to original-image coordinates by 1/scale.
+
+The reference's dynamic `np.where(prob > thresh)` indexing becomes a
+fixed-K `jax.lax.top_k` over the flattened (H*W*T) probability map plus a
+validity mask — the single biggest static-shape conversion of the port
+(SURVEY.md §7). K bounds detections per scale; everything stays on device
+until after cross-scale NMS.
+
+Template pruning per pyramid scale reproduces utils.py:15-44 exactly,
+including its dead branch: type-B template ids 18..24 carry natural scale
+2.0 but every validity test compares against 1.0, so they are zeroed at
+EVERY scale; ids {0..3, 12..17} are always ignored; only ids 4..11 (the
+scale-1.0 "type A" set) ever emit detections. Reference behavior, kept for
+parity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # (K, 4) x1, y1, x2, y2 in original-image coords
+    scores: jnp.ndarray  # (K,) classification *logits* (reference keeps logits)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def valid_template_mask(templates: np.ndarray, scale: float) -> np.ndarray:
+    """(T,) bool — which templates may fire at this pyramid scale.
+
+    Mirrors models/utils.py:15-44. Static (NumPy) because the pyramid scale
+    set is static per compiled program.
+    """
+    nt = templates.shape[0]
+    all_scale_ids = np.arange(4, 12)
+    one_scale_ids = np.arange(18, min(25, nt))
+    tscales = templates[:, 4]
+
+    if scale < 1:
+        bad = one_scale_ids[tscales[one_scale_ids] >= 1.0]
+    else:  # scale >= 1 — both reference branches test != 1.0
+        bad = one_scale_ids[tscales[one_scale_ids] != 1.0]
+
+    mask = np.zeros(nt, dtype=bool)
+    mask[all_scale_ids] = True
+    mask[one_scale_ids] = True
+    mask[bad] = False
+    return mask
+
+
+def decode_scores(
+    output: jnp.ndarray,  # (H, W, 5T) raw model output for ONE image/scale
+    templates: jnp.ndarray,  # (T, >=4)
+    template_valid: jnp.ndarray,  # (T,) bool — static per-scale pruning mask
+    *,
+    prob_thresh: float,
+    stride: float,
+    offset: float,
+    scale: float,
+    k: int,
+    valid_hw: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Detections:
+    """Top-K decode of one score map into refined boxes.
+
+    `valid_hw` masks heatmap rows/cols that come from input padding (when
+    images are bucketed to static shapes); pass (h_valid, w_valid) as traced
+    int scalars.
+    """
+    h, w, c = output.shape
+    nt = templates.shape[0]
+    score_cls = output[..., :nt]
+    prob = jax.nn.sigmoid(score_cls)
+
+    prob = jnp.where(template_valid[None, None, :], prob, 0.0)
+    if valid_hw is not None:
+        hv, wv = valid_hw
+        row_ok = jnp.arange(h)[:, None, None] < hv
+        col_ok = jnp.arange(w)[None, :, None] < wv
+        prob = jnp.where(row_ok & col_ok, prob, 0.0)
+
+    flat_prob = prob.reshape(-1)
+    top_prob, top_idx = jax.lax.top_k(flat_prob, k)
+    valid = top_prob > prob_thresh
+
+    fc = top_idx % nt
+    fx = (top_idx // nt) % w
+    fy = top_idx // (nt * w)
+
+    # Anchor geometry from the receptive field (utils.py:52-55).
+    cy = fy.astype(jnp.float32) * stride + offset
+    cx = fx.astype(jnp.float32) * stride + offset
+    cw = templates[fc, 2] - templates[fc, 0] + 1.0
+    ch = templates[fc, 3] - templates[fc, 1] + 1.0
+
+    # Regression channels live at [T + j*T + fc] for j in (tx, ty, tw, th).
+    flat_out = output.reshape(-1, c)
+    loc = fy * w + fx
+    tx = flat_out[loc, nt + fc]
+    ty = flat_out[loc, 2 * nt + fc]
+    tw = flat_out[loc, 3 * nt + fc]
+    th = flat_out[loc, 4 * nt + fc]
+
+    # Refinement (utils.py:79-100).
+    rcx = cx + cw * tx
+    rcy = cy + ch * ty
+    rcw = cw * jnp.exp(tw)
+    rch = ch * jnp.exp(th)
+
+    boxes = jnp.stack(
+        [rcx - rcw / 2, rcy - rch / 2, rcx + rcw / 2, rcy + rch / 2], axis=1
+    )
+    boxes = boxes / scale  # back to original-image coordinates (utils.py:72-74)
+
+    scores = score_cls.reshape(-1)[loc * nt + fc]
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+    return Detections(boxes=boxes, scores=jnp.where(valid, scores, -jnp.inf), valid=valid)

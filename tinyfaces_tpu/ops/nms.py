@@ -1,0 +1,84 @@
+"""On-device, fixed-shape non-maximum suppression.
+
+TPU-native replacement for the third-party torchvision.ops.nms C++/CUDA
+kernel the reference calls at evaluation.py:84. Greedy NMS is inherently
+sequential in the ranking order; we express it as a statically-shaped
+`lax.fori_loop` over the score-sorted candidate list with vectorized
+suppression per step, so the whole thing lives inside one XLA program (no
+host round-trip, no dynamic output shape).
+
+Semantics match torchvision: continuous-coordinate IoU, candidates with
+IoU > threshold against an already-kept higher-scoring box are suppressed.
+Invalid (padding) entries are handled via a validity mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tinyfaces_tpu.ops.boxes import pairwise_iou
+
+
+def nms(
+    boxes: jnp.ndarray,  # (N, 4)
+    scores: jnp.ndarray,  # (N,)
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,  # (N,) bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed-size candidate set.
+
+    Returns `(order, keep)` where `order` is the (N,) descending-score
+    permutation and `keep` is the (N,) bool mask *in that order*. The caller
+    recovers kept boxes as `boxes[order][keep]` (or keeps static shape by
+    masking). Padding rows must carry `valid=False` (they are never kept).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    # Push invalid rows to the end of the ranking.
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    ranked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-ranked_scores)
+
+    boxes_sorted = boxes[order]
+    valid_sorted = valid[order]
+
+    iou = pairwise_iou(boxes_sorted, boxes_sorted)
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        # If row i survives, suppress all lower-ranked overlapping rows.
+        overlapping = (iou[i] > iou_threshold) & keep[i]
+        return keep & ~(overlapping & (idx > i))
+
+    keep = jax.lax.fori_loop(0, n, body, valid_sorted)
+    return order, keep
+
+
+def batched_nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray,
+    max_out: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS returning a fixed-size `(max_out,)` result set.
+
+    Returns `(out_boxes, out_scores, out_valid)` with kept detections packed
+    in descending-score order and zero padding past the kept count.
+    """
+    order, keep = nms(boxes, scores, iou_threshold, valid)
+    boxes_sorted = boxes[order]
+    scores_sorted = scores[order]
+
+    # Pack kept rows to the front: rank kept rows by (not keep, position).
+    rank = jnp.argsort(jnp.where(keep, jnp.arange(keep.shape[0]), keep.shape[0] + jnp.arange(keep.shape[0])))
+    packed_boxes = boxes_sorted[rank][:max_out]
+    packed_scores = scores_sorted[rank][:max_out]
+    packed_valid = keep[rank][:max_out]
+
+    packed_boxes = jnp.where(packed_valid[:, None], packed_boxes, 0.0)
+    packed_scores = jnp.where(packed_valid, packed_scores, 0.0)
+    return packed_boxes, packed_scores, packed_valid
