@@ -1,0 +1,43 @@
+# Workflow driver — same target surface as the reference Makefile:11-33
+# (with its broken paths fixed: `test`/`debug-evaluate` point at the real
+# evaluate_model.py and `cluster` at the real clustering tool; `evaluation`
+# runs the in-repo Python WIDER evaluator instead of external octave).
+.RECIPEPREFIX +=
+
+PYTHON=python
+ROOT=data/WIDER
+TRAINDATA=$(ROOT)/wider_face_split/wider_face_train_bbx_gt.txt
+VALDATA=$(ROOT)/wider_face_split/wider_face_val_bbx_gt.txt
+TESTDATA=$(ROOT)/wider_face_split/wider_face_test_filelist.txt
+
+CHECKPOINT=weights/checkpoint_50
+
+main:
+	$(PYTHON) main.py $(TRAINDATA) $(VALDATA) --dataset-root $(ROOT)
+
+resume:
+	$(PYTHON) main.py $(TRAINDATA) $(VALDATA) --dataset-root $(ROOT) --resume $(CHECKPOINT) --epochs $(EPOCH)
+
+evaluate:
+	$(PYTHON) evaluate_model.py $(VALDATA) --dataset-root $(ROOT) --checkpoint $(CHECKPOINT) --split val
+
+evaluation:
+	$(PYTHON) wider_eval.py $(VALDATA) --results-dir val_results
+
+test:
+	$(PYTHON) evaluate_model.py $(TESTDATA) --dataset-root $(ROOT) --checkpoint $(CHECKPOINT) --split test
+
+cluster:
+	$(PYTHON) tools/cluster_templates.py $(TRAINDATA)
+
+debug:
+	$(PYTHON) main.py $(TRAINDATA) $(VALDATA) --dataset-root $(ROOT) --batch_size 1 --workers 0 --debug
+
+debug-evaluate:
+	$(PYTHON) evaluate_model.py $(VALDATA) --dataset-root $(ROOT) --checkpoint $(CHECKPOINT) --split val --batch_size 1 --workers 0 --debug
+
+unit-test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+bench:
+	$(PYTHON) bench.py

@@ -1,0 +1,83 @@
+"""Benchmark: WIDER-style image-pyramid inference throughput on one chip.
+
+Measures the end-to-end single-image pipeline the reference runs per val
+image (evaluate_model.py -> evaluation.py:20-87): pyramid scales 2**{-2..1}
+over a 1024x768 image, ResNet-101 FCN forward per scale, on-device decode,
+cross-scale NMS — including host resize and transfers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+use a FLOPs-derived estimate of the reference PyTorch pipeline on an A100:
+the pyramid costs ~5.3x a single 768x1024 forward (~0.25 TFLOP) ≈ 1.3
+TFLOP/image; fp32 PyTorch conv throughput w/ host decode round-trips ≈ 4
+TFLOP/s sustained -> ~3 images/sec. vs_baseline = ours / 3.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 3.0  # estimated reference-on-A100 (see module docstring)
+
+
+def main():
+    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.evaluation import PyramidDetector, get_model
+
+    templates = load_templates()
+    model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
+    detector = PyramidDetector(
+        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig()
+    )
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (768, 1024, 3), dtype=np.uint8)
+
+    # Warmup: compiles the 4 pyramid programs + the NMS merge.
+    t0 = time.time()
+    dets = detector.detect(image)
+    warmup_s = time.time() - t0
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.time()
+    for _ in range(iters):
+        dets = detector.detect(image)
+    dt = time.time() - t0
+
+    imgs_per_sec = iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pyramid_inference_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+    print(
+        f"# warmup(compile) {warmup_s:.1f}s; {iters} iters in {dt:.2f}s; "
+        f"last image produced {dets.shape[0]} detections",
+        file=sys.stderr,
+    )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

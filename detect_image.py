@@ -1,0 +1,70 @@
+"""Single-image detection CLI — same surface as the reference
+detect_image.py:17-26: load templates + checkpoint, single-scale
+(scales=(0,)) detection, draw boxes, show."""
+
+import argparse
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+from tinyfaces_tpu.data import load_templates
+from tinyfaces_tpu.evaluation import PyramidDetector, get_model
+
+
+def arguments(argv=None):
+    parser = argparse.ArgumentParser("Image Evaluator")
+    parser.add_argument("image_path")
+    parser.add_argument("--checkpoint",
+                        help="The path to the model checkpoint", default="")
+    parser.add_argument("--prob_thresh", type=float, default=0.6)
+    parser.add_argument("--nms_thresh", type=float, default=0.3)
+    parser.add_argument("--output", default="",
+                        help="save annotated image here instead of .show()")
+
+    return parser.parse_args(argv)
+
+
+def run(model, variables, image, templates, prob_thresh, nms_thresh):
+    detector = PyramidDetector(
+        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig()
+    )
+    return detector.detect(
+        np.asarray(image), prob_thresh, nms_thresh, scales=(0,)
+    )
+
+
+def main():
+    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    args = arguments()
+
+    templates = load_templates()
+    num_templates = templates.shape[0]
+
+    model, variables = get_model(args.checkpoint, num_templates=num_templates)
+    print("Loaded model", args.checkpoint)
+
+    image = Image.open(args.image_path).convert("RGB")
+    dets = run(model, variables, image, templates, args.prob_thresh, args.nms_thresh)
+    print(f"{dets.shape[0]} detections")
+
+    draw = ImageDraw.Draw(image)
+    for det in dets:
+        draw.rectangle(((det[0], det[1]), (det[2], det[3])), width=4)
+
+    if args.output:
+        image.save(args.output)
+        print("Saved", args.output)
+    else:
+        image.show()
+
+
+if __name__ == "__main__":
+    main()
+
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()

@@ -1,0 +1,164 @@
+"""Training CLI — same surface as the reference main.py:18-36 (flag names and
+defaults preserved; `--resume PATH` actually works here, unlike the reference
+whose store_true flag can't carry the path, SURVEY.md §2.7).
+
+Flow (reference main.py:39-104): dataloader -> model/loss -> SGD with
+per-group LRs + StepLR -> epoch loop -> periodic checkpoints. TPU-native:
+one jitted SPMD train step over the "data" mesh axis.
+"""
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from tinyfaces_tpu.config import DetectorConfig, TrainConfig
+from tinyfaces_tpu.data import get_dataloader
+from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+from tinyfaces_tpu.trainer import Trainer, load_checkpoint, save_checkpoint
+
+
+def arguments(argv=None):
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument("traindata")
+    parser.add_argument("valdata")
+    parser.add_argument("--dataset-root", default="")
+    parser.add_argument("--dataset", default="WIDERFace")
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--weight-decay", default=0.0005, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--batch_size", default=12, type=int)
+    parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--start-epoch", default=0, type=int)
+    parser.add_argument("--epochs", default=50, type=int)
+    parser.add_argument("--save-every", default=10, type=int)
+    parser.add_argument("--resume", default="",
+                        help="checkpoint path to resume from")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--pretrained-backbone", default="",
+                        help="npz/pth with converted ImageNet ResNet-101 weights")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations (fp32 params)")
+
+    return parser.parse_args(argv)
+
+
+def main():
+    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    args = arguments()
+
+    num_templates = 25  # aka the number of clusters
+
+    cfg = DetectorConfig(num_templates=num_templates)
+    tc = TrainConfig(
+        lr=args.lr,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        start_epoch=args.start_epoch,
+        save_every=args.save_every,
+        workers=args.workers,
+    )
+
+    train_dataset, templates = get_dataloader(
+        args.traindata, args, num_templates, cfg=cfg, train=True, split="train"
+    )
+
+    if args.debug:
+        debug_visualize(train_dataset)
+        return
+
+    import jax.numpy as jnp
+
+    model = TinyFacesDetector(
+        num_objects=1,
+        num_templates=num_templates,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    params, batch_stats = init_model(model, jax.random.PRNGKey(args.seed))
+
+    if args.pretrained_backbone:
+        from tinyfaces_tpu.evaluation import load_weights
+
+        pretrained = load_weights(args.pretrained_backbone)
+        params = {**params, "backbone": pretrained["params"]["backbone"]}
+        batch_stats = {**batch_stats, "backbone": pretrained["batch_stats"]["backbone"]}
+
+    weights_dir = Path("weights")
+    weights_dir.mkdir(exist_ok=True)
+
+    trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates, seed=args.seed)
+    steps_per_epoch = max(1, len(train_dataset) // tc.batch_size)
+    state = trainer.setup(steps_per_epoch, params, batch_stats)
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        restored = load_checkpoint(
+            args.resume,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": np.zeros((), np.int32),
+                "epoch": np.zeros((), np.int64),
+                "batch_size": np.zeros((), np.int64),
+            },
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        if not start_epoch:
+            start_epoch = int(restored["epoch"])
+
+    for epoch in range(start_epoch, args.epochs):
+        state = trainer.train_epoch(state, train_dataset, epoch)
+        if (epoch + 1) % args.save_every == 0:
+            save_checkpoint(
+                state, epoch + 1, tc.batch_size,
+                save_path=weights_dir,
+                filename=f"checkpoint_{epoch + 1}",
+            )
+
+
+def debug_visualize(dataset):
+    """`make debug` flow (reference wider_face.py:171-183): render the first
+    augmented sample's boxes + assigned heatmap positives, then exit."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tinyfaces_tpu.data.targets import build_targets
+    from tinyfaces_tpu.utils.visualize import visualize_bboxes
+
+    item = dataset[0]
+    batch = {
+        "image": jnp.asarray(item["image"][None]),
+        "gt_boxes": jnp.asarray(item["gt_boxes"][None]),
+        "gt_valid": jnp.asarray(item["gt_valid"][None]),
+        "paste_box": jnp.asarray(item["paste_box"][None]),
+        "flip": jnp.asarray(np.array([item["flip"]])),
+    }
+    _, cls_maps, _ = build_targets(
+        batch, jnp.asarray(dataset.templates, jnp.float32),
+        jax.random.PRNGKey(0), dataset.cfg,
+    )
+    print("positive anchors:", int((np.asarray(cls_maps) == 1).sum()))
+    img = Image.fromarray(item["image"])
+    visualize_bboxes(img, item["gt_boxes"][item["gt_valid"]])
+
+
+if __name__ == "__main__":
+    main()
+
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()

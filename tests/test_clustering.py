@@ -1,0 +1,59 @@
+import numpy as np
+
+from tinyfaces_tpu.clustering.cluster import (
+    centralize_bbox,
+    compute_distances,
+    compute_kmedoids,
+    k_medoids,
+)
+from tinyfaces_tpu.metrics import jaccard_index
+
+
+def test_centralize_bbox():
+    boxes = np.array([[10.0, 20.0, 19.0, 39.0]])  # w=10, h=20 (+1 convention)
+    c = centralize_bbox(boxes)
+    np.testing.assert_allclose(c, [[-4.5, -9.5, 4.5, 9.5]])
+
+
+def test_compute_distances_matches_scalar_jaccard():
+    rng = np.random.default_rng(0)
+    w = rng.uniform(5, 80, 12)
+    h = rng.uniform(5, 80, 12)
+    boxes = np.stack([-w / 2, -h / 2, w / 2, h / 2], axis=1)
+    d = compute_distances(boxes)
+    for i in range(12):
+        for j in range(12):
+            want = 1 - float(jaccard_index(boxes[i], boxes[j]))
+            np.testing.assert_allclose(d[i, j], want, atol=1e-6)
+    np.testing.assert_allclose(np.diag(d), 0, atol=1e-12)
+
+
+def test_kmedoids_recovers_separated_clusters():
+    rng = np.random.default_rng(1)
+    sizes = [8.0, 40.0, 200.0]
+    pts = []
+    for s in sizes:
+        w = s * rng.uniform(0.95, 1.05, 30)
+        h = s * rng.uniform(0.95, 1.05, 30)
+        pts.append(np.stack([-w / 2, -h / 2, w / 2, h / 2], axis=1))
+    boxes = np.concatenate(pts)
+    dist = compute_distances(boxes)
+    medoids, assign = k_medoids(dist, 3, np.random.default_rng(0))
+    # each true cluster maps to exactly one medoid cluster
+    labels = [set(assign[i * 30 : (i + 1) * 30]) for i in range(3)]
+    assert all(len(l) == 1 for l in labels)
+    assert len(set.union(*labels)) == 3
+
+
+def test_compute_kmedoids_return_layout():
+    rng = np.random.default_rng(2)
+    n = 80
+    boxes = np.stack(
+        [rng.uniform(0, 10, n), rng.uniform(0, 10, n),
+         rng.uniform(20, 200, n), rng.uniform(20, 200, n)], axis=1
+    )
+    k = 5
+    clustering = compute_kmedoids(boxes, 1, indices=k, max_clusters=k)
+    assert len(clustering) == k + 1
+    assert clustering[k]["n_clusters"] == k
+    assert np.asarray(clustering[k]["medoids"]).shape == (k, 4)

@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tinyfaces_tpu.config import DetectorConfig
+from tinyfaces_tpu.data import load_templates
+from tinyfaces_tpu.data.targets import build_targets, normalize_images
+from tinyfaces_tpu.data.wider_face import (
+    augment_sample,
+    crop_and_paste,
+    parse_wider_annotations,
+)
+
+ANNOT = """0--Parade/0_Parade_marchingband_1_849.jpg
+2
+449 330 122 149 0 0 0 0 0 0
+100 100 40 50 1 0 1 0 0 0
+0--Parade/0_Parade_Parade_0_904.jpg
+0
+0 0 0 0 0 0 0 0 0 0
+1--Handshaking/1_Handshaking_Handshaking_1_35.jpg
+1
+20 30 0 50 0 0 0 0 0 0
+"""
+
+
+def test_parse_annotations(tmp_path):
+    p = tmp_path / "gt.txt"
+    p.write_text(ANNOT)
+    samples = parse_wider_annotations(p, "train")
+    assert len(samples) == 3
+    # (x, y, w, h) -> (x1, y1, x2, y2) with -1
+    np.testing.assert_allclose(samples[0].bboxes[0], [449, 330, 449 + 121, 330 + 148])
+    assert samples[0].attrs["blur"][1] == 1
+    assert samples[1].bboxes.shape == (0, 4)
+    # zero-width box dropped
+    assert samples[2].bboxes.shape == (0, 4)
+
+
+def test_parse_test_split(tmp_path):
+    p = tmp_path / "filelist.txt"
+    p.write_text("a/b.jpg\nc/d.jpg\n")
+    samples = parse_wider_annotations(p, "test")
+    assert [s.img_path for s in samples] == ["a/b.jpg", "c/d.jpg"]
+
+
+def test_crop_and_paste_preserves_pixels():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    boxes = np.array([[50.0, 50.0, 120.0, 150.0]])
+    canvas, out_boxes, paste_box = crop_and_paste(img, boxes, (200, 200), 0.3, rng)
+    assert canvas.shape == (200, 200, 3)
+    x1, y1, x2, y2 = paste_box.astype(int)
+    # pasted region comes from the source image; outside is the mean pixel
+    assert (canvas[:y1] == np.array([123, 116, 103], np.uint8)).all()
+    # surviving boxes lie within the canvas
+    if out_boxes.shape[0]:
+        assert (out_boxes[:, 0] >= 0).all() and (out_boxes[:, 2] <= 200).all()
+
+
+def test_crop_drops_boxes_outside():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (600, 600, 3), dtype=np.uint8)
+    # box in the far corner: will often fall outside the 100x100 crop
+    boxes = np.array([[550.0, 550.0, 590.0, 590.0]])
+    dropped = 0
+    for _ in range(20):
+        _, out_boxes, _ = crop_and_paste(img, boxes.copy(), (100, 100), 0.3, rng)
+        dropped += out_boxes.shape[0] == 0
+    assert dropped > 0
+
+
+def test_augment_sample_static_shapes():
+    cfg = DetectorConfig(input_size=(200, 200), max_gt=16)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (350, 280, 3), dtype=np.uint8)
+    boxes = np.array([[30.0, 40.0, 120.0, 160.0], [200.0, 50.0, 260.0, 140.0]])
+    canvas, gt, gt_valid, paste_box, flip = augment_sample(img, boxes, cfg, rng)
+    assert canvas.shape == (200, 200, 3) and canvas.dtype == np.uint8
+    assert gt.shape == (16, 4) and gt_valid.shape == (16,)
+    assert not gt_valid[gt_valid.argmin():].any() or gt_valid.all()
+
+
+def test_normalize_images_matches_torchvision_semantics():
+    img = np.full((1, 2, 2, 3), 255, np.uint8)
+    out = np.asarray(normalize_images(jnp.asarray(img)))
+    want = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
+
+
+def test_build_targets_batch():
+    cfg = DetectorConfig(input_size=(128, 128), heatmap_size=(16, 16), max_gt=8)
+    templates = load_templates()
+    rng = np.random.default_rng(3)
+    b = 2
+    batch = {
+        "image": jnp.asarray(rng.integers(0, 255, (b, 128, 128, 3), dtype=np.uint8)),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.array([[30.0, 30, 80, 90]], np.float32), (b, cfg.max_gt, 1))
+        ),
+        "gt_valid": jnp.asarray(np.tile(np.arange(cfg.max_gt) < 1, (b, 1))),
+        "paste_box": jnp.asarray(np.tile(np.array([0, 0, 128, 128], np.float32), (b, 1))),
+        "flip": jnp.asarray(np.array([False, True])),
+    }
+    images, cls_maps, reg_maps = build_targets(
+        batch, jnp.asarray(templates, jnp.float32), jax.random.PRNGKey(0), cfg
+    )
+    assert images.shape == (b, 128, 128, 3)
+    assert cls_maps.shape == (b, 16, 16, 25)
+    assert reg_maps.shape == (b, 16, 16, 100)
+    assert set(np.unique(np.asarray(cls_maps))) <= {-1.0, 0.0, 1.0}
+    # each sample has at least the forced-positive anchor for its GT
+    assert (np.asarray(cls_maps) == 1).reshape(b, -1).sum(1).min() >= 1

@@ -1,0 +1,79 @@
+import jax.numpy as jnp
+import numpy as np
+
+from tinyfaces_tpu.data import load_templates
+from tinyfaces_tpu.ops.decode import decode_scores, valid_template_mask
+
+
+def test_template_pruning_reproduces_reference_dead_branch():
+    """Only type-A ids 4..11 are ever valid (SURVEY.md §2.5: the reference's
+    scale checks always zero the scale-2.0 type-B templates)."""
+    templates = load_templates()
+    for scale in (0.25, 0.5, 1.0, 2.0):
+        mask = valid_template_mask(templates, scale)
+        np.testing.assert_array_equal(np.where(mask)[0], np.arange(4, 12))
+
+
+def _make_output(h, w, nt, peaks):
+    """Score map with logit peaks at given (y, x, t) and -10 elsewhere."""
+    out = np.full((h, w, 5 * nt), 0.0, np.float32)
+    out[:, :, :nt] = -10.0
+    for (y, x, t, logit) in peaks:
+        out[y, x, t] = logit
+    return out
+
+
+def test_decode_recovers_anchor_boxes():
+    templates = load_templates()
+    nt = templates.shape[0]
+    out = _make_output(10, 12, nt, [(3, 5, 6, 2.0), (7, 2, 8, 1.0)])
+
+    dets = decode_scores(
+        jnp.asarray(out), jnp.asarray(templates, jnp.float32),
+        jnp.asarray(valid_template_mask(templates, 1.0)),
+        prob_thresh=0.5, stride=8.0, offset=-1.0, scale=1.0, k=5,
+    )
+    assert int(dets.valid.sum()) == 2
+    # top hit: (3, 5, template 6), zero regression -> anchor box itself
+    cx, cy = 5 * 8 - 1, 3 * 8 - 1
+    cw = templates[6, 2] - templates[6, 0] + 1
+    ch = templates[6, 3] - templates[6, 1] + 1
+    want = [cx - cw / 2, cy - ch / 2, cx + cw / 2, cy + ch / 2]
+    np.testing.assert_allclose(np.asarray(dets.boxes[0]), want, atol=1e-4)
+    np.testing.assert_allclose(float(dets.scores[0]), 2.0, atol=1e-6)
+
+
+def test_decode_applies_regression_and_scale():
+    templates = load_templates()
+    nt = templates.shape[0]
+    out = _make_output(8, 8, nt, [(4, 4, 5, 3.0)])
+    # tx=1, tw=log(2): center shifts +w, width doubles
+    out[4, 4, nt + 5] = 1.0
+    out[4, 4, 3 * nt + 5] = np.log(2.0)
+
+    scale = 2.0
+    dets = decode_scores(
+        jnp.asarray(out), jnp.asarray(templates, jnp.float32),
+        jnp.asarray(valid_template_mask(templates, scale)),
+        prob_thresh=0.5, stride=8.0, offset=-1.0, scale=scale, k=3,
+    )
+    cw = templates[5, 2] - templates[5, 0] + 1
+    ch = templates[5, 3] - templates[5, 1] + 1
+    cx, cy = 4 * 8 - 1 + cw, 4 * 8 - 1  # shifted by cw * tx
+    want = np.array([cx - cw, cy - ch / 2, cx + cw, cy + ch / 2]) / scale
+    np.testing.assert_allclose(np.asarray(dets.boxes[0]), want, rtol=1e-5)
+
+
+def test_decode_masks_invalid_templates_and_padding():
+    templates = load_templates()
+    nt = templates.shape[0]
+    # peak on an always-invalid template id 0, and one outside valid region
+    out = _make_output(8, 8, nt, [(2, 2, 0, 5.0), (6, 6, 7, 5.0), (1, 1, 7, 4.0)])
+    dets = decode_scores(
+        jnp.asarray(out), jnp.asarray(templates, jnp.float32),
+        jnp.asarray(valid_template_mask(templates, 1.0)),
+        prob_thresh=0.5, stride=8.0, offset=-1.0, scale=1.0, k=5,
+        valid_hw=(jnp.int32(5), jnp.int32(5)),  # (6,6) outside
+    )
+    assert int(dets.valid.sum()) == 1
+    np.testing.assert_allclose(float(dets.scores[0]), 4.0)

@@ -1,0 +1,74 @@
+import numpy as np
+import jax
+import pytest
+
+from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+from tinyfaces_tpu.data import load_templates
+from tinyfaces_tpu.evaluation import PyramidDetector, write_results
+from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+
+TINY_STAGES = (1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), input_size=(128, 128))
+    ec = EvalConfig(max_dets_per_scale=50, max_total_dets=50)
+    return PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats},
+        templates, cfg=DetectorConfig(), ec=ec,
+    )
+
+
+def test_single_scale_detect_shapes(detector):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    dets = detector.detect(img, prob_thresh=0.05, scales=(0,))
+    assert dets.ndim == 2 and dets.shape[1] == 5
+    if dets.shape[0] > 1:  # scores descending
+        assert (np.diff(dets[:, 4]) <= 1e-6).all()
+
+
+def test_pyramid_detect_runs_all_scales(detector):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (160, 200, 3), dtype=np.uint8)
+    dets = detector.detect(img, prob_thresh=0.01, scales=(-1, 0, 1))
+    assert dets.shape[1] == 5
+
+
+def test_high_threshold_gives_no_dets(detector):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    dets = detector.detect(img, prob_thresh=0.999999, scales=(0,))
+    assert dets.shape[0] == 0
+
+
+def test_write_results_format(tmp_path):
+    dets = np.array(
+        [
+            [10.2, 20.7, 50.4, 80.1, 0.93],
+            [5.0, 5.0, 15.0, 25.0, 0.12],
+        ]
+    )
+    path = write_results(
+        dets, "0--Parade/0_Parade_marchingband_1_465.jpg", "val",
+        results_dir=tmp_path / "val_results",
+    )
+    assert path == tmp_path / "val_results/0--Parade/0_Parade_marchingband_1_465.txt"
+    lines = path.read_text().splitlines()
+    assert lines[0] == "0_Parade_marchingband_1_465.jpg"
+    assert lines[1] == "2"
+    # left top width height score, +1 width convention
+    f = lines[2].split()
+    assert f[:4] == ["10", "21", "41", "60"]
+    assert float(f[4]) == 0.93
+
+
+def test_write_results_empty(tmp_path):
+    path = write_results(
+        np.zeros((0, 5)), "1--Handshaking/x.jpg", "val", results_dir=tmp_path / "r"
+    )
+    lines = path.read_text().splitlines()
+    assert lines == ["x.jpg", "0"]

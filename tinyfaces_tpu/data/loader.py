@@ -1,0 +1,140 @@
+"""Threaded prefetching batch loader.
+
+TPU-native equivalent of the reference's `DataLoader(num_workers=8,
+pin_memory=True)` (datasets/__init__.py:46-50): worker threads decode and
+augment samples (PIL JPEG decode releases the GIL) while the device runs
+the previous step; assembled batches are handed over through a bounded
+queue so host input prep overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+_STOP = object()
+
+
+def _collate(items: list[dict]) -> dict:
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        out[k] = np.stack(vals) if np.ndim(vals[0]) else np.array(vals)
+    return out
+
+
+class PrefetchLoader:
+    """Iterable over device-ready batches with background workers.
+
+    Drops the trailing partial batch (like the reference's training loop
+    semantics with fixed batch shapes — static shapes are mandatory under
+    jit anyway).
+    """
+
+    def __init__(self, dataset, batch_size: int, workers: int = 8,
+                 prefetch: int = 4, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.workers = max(1, workers)
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        if nb == 0:
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for b in range(nb):
+                        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, [int(i) for i in idxs]))
+                        q.put(_collate(items))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(_STOP)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class NativePrefetchLoader(PrefetchLoader):
+    """PrefetchLoader variant that runs the augmentation chain in the C++
+    engine (native/): worker threads only decode JPEGs; crop/paste/flip/box
+    filtering happen in native threads per batch. Falls back implicitly if
+    the caller checked data.native.is_available() first."""
+
+    def __iter__(self) -> Iterator[dict]:
+        from tinyfaces_tpu.data import native
+
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        if nb == 0:
+            return
+
+        cfg = self.dataset.cfg
+        base_seed = int(self.rng.integers(0, 2**62))
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def decode(i: int):
+            sample = self.dataset.samples[i]
+            return self.dataset._decode(i), sample.bboxes.astype(np.float32)
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for b in range(nb):
+                        idxs = [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+                        decoded = list(pool.map(decode, idxs))
+                        images = [d[0] for d in decoded]
+                        boxes = [d[1] for d in decoded]
+                        q.put(
+                            native.native_augment_batch(
+                                images, boxes, cfg.input_size, cfg.neg_thresh,
+                                cfg.max_gt, seed=base_seed + b,
+                                n_threads=self.workers,
+                            )
+                        )
+            except BaseException as e:
+                q.put(e)
+                return
+            q.put(_STOP)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

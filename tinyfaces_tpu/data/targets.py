@@ -47,12 +47,25 @@ def build_targets(
     )(batch["paste_box"], batch["flip"])
 
     keys = jax.random.split(key, batch["image"].shape[0])
-    cls_maps, reg_maps, _ = jax.vmap(
-        lambda gt, gv, pm, k: assign_targets(
-            gt, gv, pm, templates, k,
-            ofx=ofx, ofy=ofy, stx=stx, sty=sty,
-            pos_thresh=cfg.pos_thresh, neg_thresh=cfg.neg_thresh,
-        )
-    )(batch["gt_boxes"], batch["gt_valid"], pad_masks, keys)
+    if jax.default_backend() == "tpu":
+        # Fused Pallas reductions: no (Y,X,T,G) HBM tensor, ~40x faster
+        # compiles and ~1.4x faster steps than the XLA broadcast path.
+        from tinyfaces_tpu.ops.pallas_assignment import assign_targets_fused
+
+        cls_maps, reg_maps = jax.vmap(
+            lambda gt, gv, pm, k: assign_targets_fused(
+                gt, gv, pm, templates, k,
+                ofx=ofx, ofy=ofy, stx=stx, sty=sty,
+                pos_thresh=cfg.pos_thresh, neg_thresh=cfg.neg_thresh,
+            )
+        )(batch["gt_boxes"], batch["gt_valid"], pad_masks, keys)
+    else:
+        cls_maps, reg_maps, _ = jax.vmap(
+            lambda gt, gv, pm, k: assign_targets(
+                gt, gv, pm, templates, k,
+                ofx=ofx, ofy=ofy, stx=stx, sty=sty,
+                pos_thresh=cfg.pos_thresh, neg_thresh=cfg.neg_thresh,
+            )
+        )(batch["gt_boxes"], batch["gt_valid"], pad_masks, keys)
 
     return images, cls_maps, reg_maps

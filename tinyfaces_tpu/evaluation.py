@@ -1,0 +1,268 @@
+"""Evaluation runtime: checkpoint loading, image-pyramid inference, WIDER writer.
+
+Capability parity with tinyfaces/evaluation.py:12-114:
+  * `get_model`: build the detector and load weights from a checkpoint path
+    (orbax directory, .npz export, or a converted torch .pth via
+    tools/convert_torch_checkpoint.py);
+  * `get_detections`: multi-scale pyramid (scales 2**{-2..1}, shorter side
+    scaled relative to the original min side), per-scale template pruning,
+    on-device decode, ONE cross-scale NMS; returns (N, 5)
+    [x1, y1, x2, y2, score] — note the reference at HEAD drops scores before
+    returning and its writer then IndexErrors (SURVEY.md §3.2); the published
+    protocol keeps scores, which is what we implement;
+  * `write_results`: WIDER-spec per-image txt tree
+    <results_dir>/<event>/<img>.txt with name line, count line, and
+    `left top width height score` rows in the x2-x1+1 width convention
+    (evaluation.py:103-114).
+
+TPU-first: every pyramid level runs as one compiled program on a padded
+static shape (dims bucketed to BUCKET px so the jit cache stays small);
+sigmoid/threshold/top-K decode and the cross-scale NMS all run on device;
+only the final (N, 5) array crosses back to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+from tinyfaces_tpu.data.targets import normalize_images
+from tinyfaces_tpu.data.wider_face import MEAN_PIXEL
+from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+from tinyfaces_tpu.ops.decode import decode_scores, valid_template_mask
+from tinyfaces_tpu.ops.nms import batched_nms_padded
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+BUCKET = 128  # pad each spatial dim up to a multiple of this before jit
+
+
+def get_model(
+    checkpoint: Optional[str | Path] = None,
+    num_templates: int = 25,
+    dtype=jnp.float32,
+):
+    """Build TinyFacesDetector and (optionally) load weights.
+
+    Returns (model, variables) where variables = {params, batch_stats}.
+    """
+    model = TinyFacesDetector(num_templates=num_templates, dtype=dtype)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0))
+
+    if checkpoint:
+        payload = load_weights(checkpoint)
+        params = payload.get("params", params)
+        batch_stats = payload.get("batch_stats", batch_stats)
+
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+def load_weights(checkpoint: str | Path) -> dict:
+    """Load {params, batch_stats} from orbax dir / .npz / converted .pth."""
+    path = Path(checkpoint)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(path.absolute())
+        return {k: restored[k] for k in ("params", "batch_stats") if k in restored}
+    if path.suffix == ".npz":
+        from tinyfaces_tpu.utils.serialization import unflatten_npz
+
+        return unflatten_npz(np.load(path))
+    if path.suffix in (".pth", ".pt"):
+        from tools.convert_torch_checkpoint import convert_torch_checkpoint
+
+        return convert_torch_checkpoint(path)
+    raise ValueError(f"Unrecognized checkpoint format: {path}")
+
+
+def _round_up(x: int, m: int = BUCKET) -> int:
+    """Adaptive shape bucketing: finer buckets for small dims, coarser for
+    large ones, so the number of distinct compiled programs stays bounded
+    while padding waste stays ~<25%."""
+    m = max(64, min(512, 1 << max(x - 1, 1).bit_length() - 3))  # ~ dim/4..dim/8
+    return ((x + m - 1) // m) * m
+
+
+class PyramidDetector:
+    """Compiled multi-scale detector over one device.
+
+    Holds the jit cache; one compiled program per (padded_h, padded_w, scale
+    template-mask) combination.
+    """
+
+    def __init__(
+        self,
+        model: TinyFacesDetector,
+        variables: dict,
+        templates: np.ndarray,
+        cfg: DetectorConfig | None = None,
+        ec: EvalConfig | None = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.templates = np.asarray(templates, np.float64)
+        self.templates_j = jnp.asarray(templates, jnp.float32)
+        self.cfg = cfg or DetectorConfig()
+        self.ec = ec or EvalConfig()
+        self._mask_cache: dict[float, np.ndarray] = {}
+
+        stride = float(self.cfg.rf.stride[0])
+        offset = float(self.cfg.rf.offset[0])
+        model = self.model
+
+        def forward_decode(variables, templates_j, image_u8, valid_h, valid_w,
+                           tmpl_mask, *, scale: float, prob_thresh: float, k: int):
+            """One pyramid level: normalize -> FCN forward -> top-K decode."""
+            x = normalize_images(image_u8[None])
+            out = model.apply(variables, x, train=False)[0]
+            # Heatmap-space extent of the un-padded image region: the three
+            # stride-2 stages give a score grid of ceil(valid/8) rows/cols.
+            st = int(stride)
+            hm_h = (valid_h + st - 1) // st
+            hm_w = (valid_w + st - 1) // st
+            return decode_scores(
+                out, templates_j, tmpl_mask,
+                prob_thresh=prob_thresh, stride=stride, offset=offset,
+                scale=scale, k=k, valid_hw=(hm_h, hm_w),
+            )
+
+        self._forward_decode = jax.jit(
+            forward_decode, static_argnames=("scale", "prob_thresh", "k")
+        )
+        self._merge_nms = jax.jit(
+            lambda boxes, scores, valid, *, nms_thresh, max_out: batched_nms_padded(
+                boxes, scores, nms_thresh, valid, max_out
+            ),
+            static_argnames=("nms_thresh", "max_out"),
+        )
+
+    def _template_mask(self, scale: float) -> np.ndarray:
+        if scale not in self._mask_cache:
+            self._mask_cache[scale] = valid_template_mask(self.templates, scale)
+        return self._mask_cache[scale]
+
+    def detect(
+        self,
+        image: np.ndarray,  # (H, W, 3) uint8 original image
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+        scales: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """Returns (N, 5) [x1, y1, x2, y2, score] detections on the host."""
+        prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
+        nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
+        scales = self.ec.scales if scales is None else scales
+
+        h, w = image.shape[:2]
+        min_side = min(h, w)
+
+        all_boxes, all_scores, all_valid = [], [], []
+        for s in scales:
+            factor = 2.0**s
+            target_short = int(min_side * factor)
+            if h <= w:
+                th, tw = target_short, max(1, int(round(w * target_short / h)))
+            else:
+                tw, th = target_short, max(1, int(round(h * target_short / w)))
+            resized = self._resize(image, (th, tw))
+
+            # Pad up to the bucketed static shape with the ImageNet mean pixel
+            # (~zero after normalization, i.e. what conv zero-padding would
+            # see in normalized space) so border scores stay close to the
+            # unpadded reference behavior.
+            ph, pw = _round_up(th, BUCKET), _round_up(tw, BUCKET)
+            padded = np.empty((ph, pw, 3), np.uint8)
+            padded[:] = MEAN_PIXEL
+            padded[:th, :tw] = resized
+
+            dets = self._forward_decode(
+                self.variables,
+                self.templates_j,
+                jnp.asarray(padded),
+                jnp.int32(th),
+                jnp.int32(tw),
+                jnp.asarray(self._template_mask(factor)),
+                # Parity note: the reference divides boxes by the exact 2**s
+                # factor even though the resize rounds to integer pixels
+                # (evaluation.py:44-47, utils.py:72-74).
+                scale=float(factor),
+                prob_thresh=float(prob_thresh),
+                k=self.ec.max_dets_per_scale,
+            )
+            all_boxes.append(dets.boxes)
+            all_scores.append(dets.scores)
+            all_valid.append(dets.valid)
+
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        valid = jnp.concatenate(all_valid)
+
+        out_boxes, out_scores, out_valid = self._merge_nms(
+            boxes, scores, valid,
+            nms_thresh=float(nms_thresh), max_out=self.ec.max_total_dets,
+        )
+        n = int(out_valid.sum())
+        dets = np.concatenate(
+            [np.asarray(out_boxes)[:n], np.asarray(out_scores)[:n, None]], axis=1
+        )
+        return dets
+
+    @staticmethod
+    def _resize(image: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+        th, tw = hw
+        if (th, tw) == image.shape[:2]:
+            return image
+        if Image is not None:
+            return np.asarray(
+                Image.fromarray(image).resize((tw, th), Image.BILINEAR)
+            )
+        ys = (np.arange(th) * image.shape[0] / th).astype(int)
+        xs = (np.arange(tw) * image.shape[1] / tw).astype(int)
+        return image[ys][:, xs]
+
+
+def get_detections(
+    model,
+    variables,
+    image: np.ndarray,
+    templates: np.ndarray,
+    prob_thresh: float = 0.65,
+    nms_thresh: float = 0.3,
+    scales: Sequence[int] = (-2, -1, 0, 1),
+    cfg: DetectorConfig | None = None,
+) -> np.ndarray:
+    """Functional one-shot API mirroring reference evaluation.py:20-87."""
+    det = PyramidDetector(model, variables, templates, cfg=cfg)
+    return det.detect(image, prob_thresh, nms_thresh, scales)
+
+
+def write_results(
+    dets: np.ndarray,  # (N, 5) with scores
+    img_path: str,
+    split: str,
+    results_dir: Optional[str | Path] = None,
+) -> Path:
+    """WIDER-format result file (reference evaluation.py:90-114)."""
+    results_dir = Path(results_dir or f"{split}_results")
+    filename = results_dir / img_path.replace("jpg", "txt")
+    filename.parent.mkdir(parents=True, exist_ok=True)
+
+    with open(filename, "w") as f:
+        f.write(img_path.split("/")[-1] + "\n")
+        f.write(str(dets.shape[0]) + "\n")
+        for x in dets:
+            left, top = np.round(x[0]), np.round(x[1])
+            width = np.round(x[2] - x[0] + 1)
+            height = np.round(x[3] - x[1] + 1)
+            f.write(f"{int(left)} {int(top)} {int(width)} {int(height)} {x[4]}\n")
+    return filename

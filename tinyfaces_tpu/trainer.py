@@ -1,0 +1,235 @@
+"""Training runtime: optimizer, jitted SPMD train step, epoch loop, checkpoints.
+
+Capability parity with the reference trainer (tinyfaces/trainer.py:68-90,
+main.py:66-104):
+  * SGD(momentum 0.9, weight-decay 5e-4) with per-parameter-group learning
+    rates — backbone 1x, score_res3 0.1x, score_res4 1x, score4_upsample
+    frozen (model.py:67-87) — via optax.multi_transform;
+  * StepLR: lr x0.1 every 20 epochs (main.py:81-83), as a staircase
+    exponential schedule over optimizer steps;
+  * per-iteration console line "Epoch: [e][i/n]  loss_cls ... loss_reg ..."
+    fed by running AvgMeters (trainer.py:9-17, loss.py:7-21);
+  * checkpoint of {params, batch_stats, opt_state, epoch, batch_size} every
+    `save_every` epochs, with working resume-from-path (the reference's
+    --resume flag is broken, SURVEY.md §2.7 — here it works).
+
+TPU-first: one jitted train step does normalization, GT assignment, forward,
+loss (with on-device sampling), backward and the optimizer update; the batch
+is sharded over the "data" mesh axis and XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tinyfaces_tpu.config import DetectorConfig, TrainConfig
+from tinyfaces_tpu.data.targets import build_targets
+from tinyfaces_tpu.loss import AvgMeter, LossBreakdown, detection_loss
+from tinyfaces_tpu.models.detection import TinyFacesDetector
+from tinyfaces_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+# Per-group learning-rate factors (reference model.py:67-87).
+GROUP_LR_FACTORS = {
+    "backbone": 1.0,
+    "score_res3": 0.1,
+    "score_res4": 1.0,
+    "score4_upsample": 0.0,  # frozen bilinear upsampler
+}
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(tc: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """StepLR(step_size=20 epochs, gamma=0.1) as a staircase schedule."""
+    return optax.exponential_decay(
+        init_value=tc.lr,
+        transition_steps=max(1, tc.lr_step_epochs * steps_per_epoch),
+        decay_rate=tc.lr_gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(tc: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    base = make_lr_schedule(tc, steps_per_epoch)
+
+    def group(factor: float) -> optax.GradientTransformation:
+        if factor == 0.0:
+            return optax.set_to_zero()
+        # PyTorch SGD order: g += wd*p; buf = m*buf + g; p -= lr*buf.
+        return optax.chain(
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.trace(decay=tc.momentum),
+            optax.scale_by_learning_rate(lambda s: base(s) * factor),
+        )
+
+    transforms = {name: group(f) for name, f in GROUP_LR_FACTORS.items()}
+
+    def label_params(params):
+        return {k: jax.tree_util.tree_map(lambda _: k, v) for k, v in params.items()}
+
+    return optax.multi_transform(transforms, label_params)
+
+
+def create_train_state(
+    model: TinyFacesDetector,
+    params: Any,
+    batch_stats: Any,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model: TinyFacesDetector,
+    tx: optax.GradientTransformation,
+    cfg: DetectorConfig,
+    templates: np.ndarray,
+) -> Callable:
+    """Returns jitted (state, batch, key) -> (state, LossBreakdown)."""
+    templates_j = jnp.asarray(templates, jnp.float32)
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        k_assign, k_sample = jax.random.split(jax.random.fold_in(key, state.step))
+        images, cls_maps, reg_maps = build_targets(batch, templates_j, k_assign, cfg)
+
+        def loss_fn(params):
+            out, muts = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            lb = detection_loss(
+                out, cls_maps, reg_maps, k_sample,
+                num_templates=cfg.num_templates,
+                pos_fraction=cfg.pos_fraction,
+                sample_size=cfg.sample_size,
+                hard_neg_thresh=cfg.hard_neg_loss_thresh,
+            )
+            return lb.total, (muts["batch_stats"], lb)
+
+        grads, (new_stats, lb) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, lb
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def print_state(idx: int, epoch: int, size: int, loss_cls: float, loss_reg: float):
+    """Reference console format (trainer.py:9-17)."""
+    if epoch >= 0:
+        message = "Epoch: [{0}][{1}/{2}]\t".format(epoch, idx, size)
+    else:
+        message = "Val: [{0}/{1}]\t".format(idx, size)
+    print(
+        message
+        + "\tloss_cls: {loss_cls:.6f}\tloss_reg: {loss_reg:.6f}".format(
+            loss_cls=loss_cls, loss_reg=loss_reg
+        )
+    )
+
+
+def save_checkpoint(state: TrainState, epoch: int, batch_size: int,
+                    save_path: str | Path = "weights",
+                    filename: str = "checkpoint") -> Path:
+    """Orbax checkpoint of the full training state + metadata."""
+    import orbax.checkpoint as ocp
+
+    path = Path(save_path).absolute() / filename
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+        "epoch": np.asarray(epoch),
+        "batch_size": np.asarray(batch_size),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str | Path, abstract_state: Optional[dict] = None) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute(), abstract_state)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch-loop driver mirroring the reference main.py/trainer.py flow."""
+
+    model: TinyFacesDetector
+    cfg: DetectorConfig
+    tc: TrainConfig
+    templates: np.ndarray
+    mesh: Any = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.mesh = self.mesh or make_mesh()
+        self.tx = None
+        self.step_fn = None
+        self.class_average = AvgMeter()
+        self.reg_average = AvgMeter()
+        self.key = jax.random.PRNGKey(self.seed)
+
+    def setup(self, steps_per_epoch: int, params, batch_stats) -> TrainState:
+        self.tx = make_optimizer(self.tc, steps_per_epoch)
+        self.step_fn = make_train_step(self.model, self.tx, self.cfg, self.templates)
+        state = create_train_state(self.model, params, batch_stats, self.tx)
+        return replicate_tree(state, self.mesh)
+
+    def train_epoch(self, state: TrainState, dataset, epoch: int,
+                    log_every: int = 1) -> TrainState:
+        from tinyfaces_tpu.data import native
+        from tinyfaces_tpu.data.loader import NativePrefetchLoader, PrefetchLoader
+        from tinyfaces_tpu.utils.profiling import StepTimer
+
+        loader_cls = NativePrefetchLoader if native.is_available() else PrefetchLoader
+        loader = loader_cls(
+            dataset, self.tc.batch_size, workers=self.tc.workers,
+            shuffle=True, seed=self.seed + epoch,
+        )
+        timer = StepTimer(warmup=1)
+        n_batches = len(loader)
+        for idx, host_batch in enumerate(loader):
+            batch = shard_batch(host_batch, self.mesh)
+            state, lb = self.step_fn(state, batch, self.key)
+            bsz = host_batch["image"].shape[0]
+            self.class_average.update(float(lb.class_loss), bsz)
+            self.reg_average.update(float(lb.reg_loss), bsz)
+            timer.tick(items=bsz)
+            if idx % log_every == 0:
+                print_state(idx, epoch, n_batches,
+                            self.class_average.average, self.reg_average.average)
+        if timer.measured_steps:
+            print(f"epoch {epoch}: {timer.items_per_sec:.2f} images/sec")
+        return state
