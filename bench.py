@@ -45,20 +45,38 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    image = rng.integers(0, 255, (768, 1024, 3), dtype=np.uint8)
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    images = [
+        rng.integers(0, 255, (768, 1024, 3), dtype=np.uint8) for _ in range(batch)
+    ]
 
-    # Warmup: compiles the 4 pyramid programs + the NMS merge.
+    # Warmup: compiles the fused whole-pyramid program (resize + 4 forwards +
+    # decode + cross-scale NMS in ONE dispatch).
     t0 = time.time()
-    dets = detector.detect(image)
+    dets = detector.detect_batch(images)[-1]
     warmup_s = time.time() - t0
 
+    # single-image latency (one fused dispatch; separate B=1 program)
+    detector.detect(images[0])  # warmup compile
+    t0 = time.time()
+    lat_iters = 5
+    for _ in range(lat_iters):
+        detector.detect(images[0])
+    lat_ms = (time.time() - t0) / lat_iters * 1e3
+
+    # Pipelined throughput: enqueue batch i+1 before fetching batch i, so
+    # host padding + H2D overlap device compute.
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.time()
-    for _ in range(iters):
-        dets = detector.detect(image)
+    pending = detector.detect_batch_async(images)
+    for _ in range(iters - 1):
+        nxt = detector.detect_batch_async(images)
+        dets = detector._fetch(pending)[-1]
+        pending = nxt
+    dets = detector._fetch(pending)[-1]
     dt = time.time() - t0
 
-    imgs_per_sec = iters / dt
+    imgs_per_sec = iters * batch / dt
     print(
         json.dumps(
             {
@@ -70,7 +88,8 @@ def main():
         )
     )
     print(
-        f"# warmup(compile) {warmup_s:.1f}s; {iters} iters in {dt:.2f}s; "
+        f"# warmup(compile) {warmup_s:.1f}s; {iters}x{batch} imgs in {dt:.2f}s; "
+        f"single-image latency {lat_ms:.1f} ms; "
         f"last image produced {dets.shape[0]} detections",
         file=sys.stderr,
     )

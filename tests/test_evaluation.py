@@ -72,3 +72,29 @@ def test_write_results_empty(tmp_path):
     )
     lines = path.read_text().splitlines()
     assert lines == ["x.jpg", "0"]
+
+
+def test_fused_matches_host_resize_path(detector):
+    """The fused device-resize path and the PIL-resize path must produce
+    closely matching detections (resampling differs slightly, so compare
+    box sets loosely)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (160, 224, 3), dtype=np.uint8)
+    fused = detector.detect(img, prob_thresh=0.05, scales=(0,))
+    hostr = detector.detect(img, prob_thresh=0.05, scales=(0,), host_resize=True)
+    # at scale 1.0 there is no resampling at all -> results should agree
+    assert fused.shape == hostr.shape
+    if fused.shape[0]:
+        np.testing.assert_allclose(fused[:, :4], hostr[:, :4], atol=1e-2)
+        np.testing.assert_allclose(fused[:, 4], hostr[:, 4], atol=1e-3)
+
+
+def test_detect_batch_consistent_with_single(detector):
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 255, (128, 128, 3), dtype=np.uint8) for _ in range(3)]
+    batch_out = detector.detect_batch(imgs, prob_thresh=0.05, scales=(0,))
+    for im, want in zip(imgs, batch_out):
+        got = detector.detect(im, prob_thresh=0.05, scales=(0,))
+        assert got.shape == want.shape
+        if got.shape[0]:
+            np.testing.assert_allclose(got, want, atol=1e-3)

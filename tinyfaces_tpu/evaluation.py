@@ -85,6 +85,10 @@ def load_weights(checkpoint: str | Path) -> dict:
     raise ValueError(f"Unrecognized checkpoint format: {path}")
 
 
+def _round_up_mult(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _round_up(x: int, m: int = BUCKET) -> int:
     """Adaptive shape bucketing: finer buckets for small dims, coarser for
     large ones, so the number of distinct compiled programs stays bounded
@@ -146,6 +150,79 @@ class PyramidDetector:
             static_argnames=("nms_thresh", "max_out"),
         )
 
+        def fused_pyramid(variables, templates_j, tmpl_masks, images_u8, h0, w0,
+                          *, scales: tuple, h0p: int, w0p: int,
+                          prob_thresh: float, nms_thresh: float):
+            """Whole pyramid in ONE program: device resize of the original to
+            every scale, FCN forward per scale, decode, cross-scale NMS.
+
+            One dispatch + one small H2D per image batch — built for the
+            high per-call latency of remote-attached TPUs, and so XLA can
+            overlap the scales' compute.
+            """
+            b = images_u8.shape[0]
+            x0 = normalize_images(images_u8)  # normalize commutes with resize
+            min0 = jnp.minimum(h0, w0).astype(jnp.float32)
+            k = self.ec.max_dets_per_scale
+
+            all_b, all_s, all_v = [], [], []
+            for si, s in enumerate(scales):
+                f = 2.0**s
+                thp = _round_up_mult(int(round(h0p * f)), 32)
+                twp = _round_up_mult(int(round(w0p * f)), 32)
+                # Reference sizing (evaluation.py:42-47): shorter side ->
+                # int(min_side * f), longer side aspect-preserved (rounded).
+                tshort = jnp.floor(min0 * f)
+                th_v = jnp.where(
+                    h0 <= w0, tshort, jnp.round(h0.astype(jnp.float32) * tshort / w0)
+                ).astype(jnp.int32)
+                tw_v = jnp.where(
+                    h0 <= w0, jnp.round(w0.astype(jnp.float32) * tshort / h0), tshort
+                ).astype(jnp.int32)
+                th_v = jnp.clip(th_v, 1, thp)
+                tw_v = jnp.clip(tw_v, 1, twp)
+
+                def resize_one(img, tv, wv, hh, ww):
+                    return jax.image.scale_and_translate(
+                        img, (thp, twp, 3), (0, 1),
+                        jnp.stack([tv.astype(jnp.float32) / hh.astype(jnp.float32),
+                                   wv.astype(jnp.float32) / ww.astype(jnp.float32)]),
+                        jnp.zeros(2, jnp.float32),
+                        method="linear", antialias=True,
+                    )
+
+                xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
+                out = model.apply(variables, xs, train=False)
+
+                st = int(stride)
+                hm_h = (th_v + st - 1) // st
+                hm_w = (tw_v + st - 1) // st
+
+                dets = jax.vmap(
+                    lambda o, hh, ww: decode_scores(
+                        o, templates_j, tmpl_masks[si],
+                        prob_thresh=prob_thresh, stride=stride, offset=offset,
+                        scale=float(f), k=k, valid_hw=(hh, ww),
+                    )
+                )(out, hm_h, hm_w)
+                all_b.append(dets.boxes)
+                all_s.append(dets.scores)
+                all_v.append(dets.valid)
+
+            boxes = jnp.concatenate(all_b, axis=1)
+            scores = jnp.concatenate(all_s, axis=1)
+            valid = jnp.concatenate(all_v, axis=1)
+            return jax.vmap(
+                lambda bb, ss, vv: batched_nms_padded(
+                    bb, ss, nms_thresh, vv, self.ec.max_total_dets
+                )
+            )(boxes, scores, valid)
+
+        self._fused_pyramid = jax.jit(
+            fused_pyramid,
+            static_argnames=("scales", "h0p", "w0p", "prob_thresh", "nms_thresh"),
+        )
+
     def _template_mask(self, scale: float) -> np.ndarray:
         if scale not in self._mask_cache:
             self._mask_cache[scale] = valid_template_mask(self.templates, scale)
@@ -157,8 +234,83 @@ class PyramidDetector:
         prob_thresh: Optional[float] = None,
         nms_thresh: Optional[float] = None,
         scales: Optional[Sequence[int]] = None,
+        host_resize: bool = False,
     ) -> np.ndarray:
-        """Returns (N, 5) [x1, y1, x2, y2, score] detections on the host."""
+        """Returns (N, 5) [x1, y1, x2, y2, score] detections on the host.
+
+        Default path: one fused on-device program (device pyramid resize +
+        all forwards + decode + NMS, single dispatch). `host_resize=True`
+        selects the PIL-resize-per-scale path (reference-identical resampling,
+        one dispatch per scale)."""
+        if not host_resize:
+            return self.detect_batch(
+                [image], prob_thresh, nms_thresh, scales
+            )[0]
+        return self._detect_host_resize(image, prob_thresh, nms_thresh, scales)
+
+    def detect_batch(
+        self,
+        images: Sequence[np.ndarray],
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+        scales: Optional[Sequence[int]] = None,
+    ) -> list[np.ndarray]:
+        """Fused-path detection over a batch of images (padded to a common
+        bucketed shape — batch same-sized images for best throughput)."""
+        return self._fetch(self.detect_batch_async(
+            images, prob_thresh, nms_thresh, scales
+        ))
+
+    def detect_batch_async(
+        self,
+        images: Sequence[np.ndarray],
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+        scales: Optional[Sequence[int]] = None,
+    ):
+        """Non-blocking variant: enqueues the transfer + fused program and
+        returns device futures immediately, so callers can pipeline host
+        prep / transfers of batch i+1 against device compute of batch i.
+        Resolve with `_fetch`."""
+        prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
+        nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
+        scales = tuple(self.ec.scales if scales is None else scales)
+
+        hs = [im.shape[0] for im in images]
+        ws = [im.shape[1] for im in images]
+        h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
+
+        batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
+        batch[:] = MEAN_PIXEL
+        for i, im in enumerate(images):
+            batch[i, : im.shape[0], : im.shape[1]] = im
+
+        masks = np.stack([self._template_mask(2.0**s) for s in scales])
+        return self._fused_pyramid(
+            self.variables, self.templates_j, jnp.asarray(masks),
+            jnp.asarray(batch), jnp.asarray(hs, jnp.int32), jnp.asarray(ws, jnp.int32),
+            scales=scales, h0p=h0p, w0p=w0p,
+            prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
+        )
+
+    @staticmethod
+    def _fetch(async_result) -> list[np.ndarray]:
+        out_boxes, out_scores, out_valid = (np.asarray(a) for a in async_result)
+        results = []
+        for i in range(out_boxes.shape[0]):
+            n = int(out_valid[i].sum())
+            results.append(
+                np.concatenate([out_boxes[i, :n], out_scores[i, :n, None]], axis=1)
+            )
+        return results
+
+    def _detect_host_resize(
+        self,
+        image: np.ndarray,
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+        scales: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
         prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
         nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
         scales = self.ec.scales if scales is None else scales
