@@ -1,0 +1,146 @@
+"""End-to-end integration: real (synthetic) WIDER tree -> Trainer epochs ->
+checkpoint/resume -> pyramid eval -> WIDER result files -> mAP evaluator.
+
+The whole reference workflow surface in one test module, on the CPU backend
+with a small backbone.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from tinyfaces_tpu.config import DetectorConfig, EvalConfig, TrainConfig
+from tinyfaces_tpu.data import load_templates
+from tinyfaces_tpu.data.wider_face import WIDERFace
+from tinyfaces_tpu.evaluation import PyramidDetector, write_results
+from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+from tinyfaces_tpu.trainer import Trainer, load_checkpoint, save_checkpoint
+
+TINY_STAGES = (1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def wider_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wider")
+    rng = np.random.default_rng(0)
+    ann = {"train": [], "val": []}
+    for split in ("train", "val"):
+        d = root / f"WIDER_{split}" / "images" / "0--Ev"
+        d.mkdir(parents=True)
+        for i in range(6):
+            h, w = int(rng.integers(140, 260)), int(rng.integers(160, 300))
+            img = rng.integers(0, 200, (h, w, 3), dtype=np.uint8)
+            bw, bh = int(rng.integers(20, 50)), int(rng.integers(20, 50))
+            x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
+            img[y : y + bh, x : x + bw] = 255
+            name = f"im_{split}_{i}.jpg"
+            Image.fromarray(img).save(d / name)
+            ann[split] += [f"0--Ev/{name}", "1", f"{x} {y} {bw} {bh} 0 0 0 0 0 0"]
+    sd = root / "wider_face_split"
+    sd.mkdir()
+    for split in ("train", "val"):
+        (sd / f"{split}.txt").write_text("\n".join(ann[split]) + "\n")
+    return root
+
+
+def test_full_training_and_eval_workflow(wider_tree, tmp_path):
+    templates = load_templates()
+    cfg = DetectorConfig(input_size=(128, 128), heatmap_size=(16, 16), max_gt=8)
+    tc = TrainConfig(batch_size=2, workers=2, epochs=2)
+
+    dataset = WIDERFace(
+        wider_tree / "wider_face_split" / "train.txt", templates,
+        cfg=cfg, dataset_root=wider_tree, split="train",
+    )
+    assert len(dataset) == 6
+
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), cfg.input_size)
+
+    trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates)
+    state = trainer.setup(steps_per_epoch=3, params=params, batch_stats=batch_stats)
+
+    # two epochs of real data through the prefetch loader
+    state = trainer.train_epoch(state, dataset, epoch=0)
+    state = trainer.train_epoch(state, dataset, epoch=1)
+    assert int(jax.device_get(state.step)) == 6
+    assert trainer.class_average.num_averaged == 12
+
+    # checkpoint + resume restores step and params
+    path = save_checkpoint(state, epoch=2, batch_size=2, save_path=tmp_path,
+                           filename="checkpoint_2")
+    abstract = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.zeros((), np.int32),
+        "epoch": np.zeros((), np.int64),
+        "batch_size": np.zeros((), np.int64),
+    }
+    restored = load_checkpoint(path, abstract)
+    assert int(restored["epoch"]) == 2
+    assert int(restored["step"]) == 6
+
+    # eval: pyramid inference over the val split -> WIDER result files
+    val = WIDERFace(
+        wider_tree / "wider_face_split" / "val.txt", templates,
+        cfg=cfg, dataset_root=wider_tree, split="val",
+    )
+    detector = PyramidDetector(
+        model,
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)},
+        templates,
+        cfg=DetectorConfig(),
+        ec=EvalConfig(max_dets_per_scale=50, max_total_dets=50),
+    )
+    results_dir = tmp_path / "val_results"
+    for i in range(2):
+        image, img_path = val[i]
+        dets = detector.detect(image, prob_thresh=0.2, scales=(0,))
+        out = write_results(dets, img_path, "val", results_dir)
+        lines = out.read_text().splitlines()
+        assert int(lines[1]) == dets.shape[0]
+
+    # mAP evaluator consumes the result tree without error
+    from wider_eval import dataset_eval, gt_from_txt, read_results_dir
+
+    results = read_results_dir(results_dir)
+    gt, keeps = gt_from_txt(wider_tree / "wider_face_split" / "val.txt")
+    ap = dataset_eval(results, gt, keeps["all"])
+    assert 0.0 <= ap <= 1.0
+
+
+def test_debug_heatmap_roundtrip(wider_tree):
+    """GT heatmaps decode back to boxes near the original GT (the
+    processor.visualize_heatmaps capability)."""
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.data.debug import heatmap_to_boxes
+    from tinyfaces_tpu.data.targets import build_targets
+
+    templates = load_templates()
+    cfg = DetectorConfig(input_size=(128, 128), heatmap_size=(16, 16), max_gt=8)
+    gt = np.array([[40.0, 40.0, 90.0, 100.0]], np.float32)
+    batch = {
+        "image": jnp.zeros((1, 128, 128, 3), jnp.uint8),
+        "gt_boxes": jnp.asarray(np.tile(gt, (1, cfg.max_gt, 1))),
+        "gt_valid": jnp.asarray(np.arange(cfg.max_gt)[None] < 1),
+        "paste_box": jnp.asarray([[0.0, 0.0, 128.0, 128.0]]),
+        "flip": jnp.asarray([False]),
+    }
+    _, cls, reg = build_targets(
+        batch, jnp.asarray(templates, jnp.float32), jax.random.PRNGKey(0), cfg
+    )
+    boxes, scores = heatmap_to_boxes(
+        np.asarray(cls[0]), np.asarray(reg[0]), templates, cfg,
+        prob_thresh=1.0, nms_thresh=0.3,
+    )
+    assert boxes.shape[0] >= 1
+    # decoded positive anchors should reconstruct the GT box closely
+    center_err = np.abs(
+        (boxes[:, :2] + boxes[:, 2:]) / 2 - np.array([65.0, 70.0])
+    ).min(axis=0)
+    assert (center_err < 8).all()

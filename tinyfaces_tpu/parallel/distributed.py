@@ -1,0 +1,62 @@
+"""Multi-host SPMD initialization helpers.
+
+The reference has no distributed backend at all (SURVEY.md §2.9: no
+torch.distributed/NCCL anywhere — single cuda:0). This framework is SPMD
+from the start; within one host the data mesh forms over local chips and
+XLA rides ICI for the gradient psum. Across hosts:
+
+  * call `initialize()` once per process before any jax call
+    (jax.distributed.initialize — coordinator discovery via env or args);
+  * build the mesh over jax.devices() (global view, all hosts);
+  * feed each host only its batch shard and assemble the global array with
+    `host_local_batch` (jax.make_array_from_process_local_data), so DCN
+    carries no input data and gradients reduce over ICI first.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+
+from tinyfaces_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize wrapper; no-op when single-process."""
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis: str = DATA_AXIS):
+    """Mesh over every chip in the job (all hosts)."""
+    return make_mesh(jax.devices(), axis)
+
+
+def host_local_batch(batch: Any, mesh) -> Any:
+    """Assemble a global sharded batch from this host's local shard.
+
+    Each process passes arrays covering its own slice of the global batch;
+    the result is a jax.Array sharded over the data axis with no cross-host
+    data movement.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
+
+
+def process_batch_slice(global_batch_size: int) -> slice:
+    """Which rows of the global batch this process should load."""
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

@@ -194,7 +194,13 @@ class Trainer:
     seed: int = 0
 
     def __post_init__(self):
-        self.mesh = self.mesh or make_mesh()
+        if self.mesh is None:
+            # Use the largest device prefix whose count divides the batch.
+            devices = jax.devices()
+            k = len(devices)
+            while k > 1 and self.tc.batch_size % k != 0:
+                k -= 1
+            self.mesh = make_mesh(devices[:k])
         self.tx = None
         self.step_fn = None
         self.class_average = AvgMeter()
