@@ -42,6 +42,8 @@ def arguments(argv=None):
                         help="npz/pth with converted ImageNet ResNet-101 weights")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (fp32 params)")
+    parser.add_argument("--profile-dir", default="",
+                        help="capture a jax.profiler trace of epoch 0 here")
 
     return parser.parse_args(argv)
 
@@ -120,8 +122,11 @@ def main():
         if not start_epoch:
             start_epoch = int(restored["epoch"])
 
+    from tinyfaces_tpu.utils.profiling import trace
+
     for epoch in range(start_epoch, args.epochs):
-        state = trainer.train_epoch(state, train_dataset, epoch)
+        with trace(args.profile_dir if epoch == start_epoch else None):
+            state = trainer.train_epoch(state, train_dataset, epoch)
         if (epoch + 1) % args.save_every == 0:
             save_checkpoint(
                 state, epoch + 1, tc.batch_size,

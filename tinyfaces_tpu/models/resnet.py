@@ -33,9 +33,11 @@ RESNET50_STAGES: Tuple[int, ...] = (3, 4, 6)
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     """3x3/2 max pool with pad 1, matching torch MaxPool2d(3, 2, 1)."""
+    # -inf init keeps this the canonical max-pool monoid (autodiff-able for
+    # every float dtype, incl. bfloat16).
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),

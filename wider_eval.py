@@ -98,6 +98,7 @@ def dataset_eval(results: dict, gt: dict, keep: dict) -> float:
     npos = sum(int(keep[k].sum()) for k in gt)
     tp = np.zeros(N_THRESH)
     fp = np.zeros(N_THRESH)
+    thresh_vec = 1.0 - (np.arange(N_THRESH) + 1) / N_THRESH
 
     for img, gts in gt.items():
         dets = results.get(img, np.zeros((0, 5)))
@@ -105,13 +106,13 @@ def dataset_eval(results: dict, gt: dict, keep: dict) -> float:
             continue
         scores, flags = image_eval(dets, gts, keep[img])
         norm = (scores - smin) / span
-        # Detections are score-sorted; for threshold t, dets with norm >= t count.
-        for t in range(N_THRESH):
-            thresh = 1.0 - (t + 1) / N_THRESH
-            upto = int(np.searchsorted(-norm, -thresh, side="right"))
-            f = flags[:upto]
-            tp[t] += float((f == 1).sum())
-            fp[t] += float((f == 0).sum())
+        # Detections are score-sorted desc; for threshold t, the first
+        # `upto[t]` detections count. Accumulate via cumulative TP/FP.
+        cum_tp = np.concatenate([[0.0], np.cumsum(flags == 1)])
+        cum_fp = np.concatenate([[0.0], np.cumsum(flags == 0)])
+        upto = np.searchsorted(-norm, -thresh_vec, side="right")
+        tp += cum_tp[upto]
+        fp += cum_fp[upto]
 
     recall = tp / max(npos, 1)
     with np.errstate(divide="ignore", invalid="ignore"):
