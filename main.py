@@ -44,6 +44,8 @@ def arguments(argv=None):
                         help="bfloat16 activations (fp32 params)")
     parser.add_argument("--profile-dir", default="",
                         help="capture a jax.profiler trace of epoch 0 here")
+    parser.add_argument("--log-every", default=1, type=int,
+                        help="console cadence; >1 unblocks device pipelining")
 
     return parser.parse_args(argv)
 
@@ -126,7 +128,9 @@ def main():
 
     for epoch in range(start_epoch, args.epochs):
         with trace(args.profile_dir if epoch == start_epoch else None):
-            state = trainer.train_epoch(state, train_dataset, epoch)
+            state = trainer.train_epoch(
+                state, train_dataset, epoch, log_every=args.log_every
+            )
         if (epoch + 1) % args.save_every == 0:
             save_checkpoint(
                 state, epoch + 1, tc.batch_size,

@@ -98,3 +98,36 @@ def test_detect_batch_consistent_with_single(detector):
         assert got.shape == want.shape
         if got.shape[0]:
             np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_detect_batch_sharded_over_mesh():
+    """Fused pyramid eval data-parallel over an 8-device CPU mesh."""
+    import jax
+
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+    from tinyfaces_tpu.parallel.mesh import make_mesh
+
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), input_size=(128, 128))
+    det = PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats}, templates,
+        cfg=DetectorConfig(), ec=EvalConfig(max_dets_per_scale=50, max_total_dets=50),
+        mesh=make_mesh(jax.devices()[:8]),
+    )
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(8)]
+    outs = det.detect_batch(imgs, prob_thresh=0.05, scales=(0,))
+    assert len(outs) == 8
+    for o in outs:
+        assert o.ndim == 2 and o.shape[1] == 5
+
+    # matches the unsharded detector
+    det1 = PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats}, templates,
+        cfg=DetectorConfig(), ec=EvalConfig(max_dets_per_scale=50, max_total_dets=50),
+    )
+    want = det1.detect_batch(imgs, prob_thresh=0.05, scales=(0,))
+    for a, b in zip(outs, want):
+        np.testing.assert_allclose(a, b, atol=1e-3)

@@ -111,13 +111,19 @@ class PyramidDetector:
         templates: np.ndarray,
         cfg: DetectorConfig | None = None,
         ec: EvalConfig | None = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis — the fused
+        pyramid batch shards over it (one group of images per chip; SURVEY.md
+        §5's pyramid-across-chips scaling). Batch size must then be divisible
+        by the mesh size."""
         self.model = model
         self.variables = variables
         self.templates = np.asarray(templates, np.float64)
         self.templates_j = jnp.asarray(templates, jnp.float32)
         self.cfg = cfg or DetectorConfig()
         self.ec = ec or EvalConfig()
+        self.mesh = mesh
         self._mask_cache: dict[float, np.ndarray] = {}
 
         stride = float(self.cfg.rf.stride[0])
@@ -286,9 +292,17 @@ class PyramidDetector:
             batch[i, : im.shape[0], : im.shape[1]] = im
 
         masks = np.stack([self._template_mask(2.0**s) for s in scales])
+        batch_j = jnp.asarray(batch)
+        hs_j = jnp.asarray(hs, jnp.int32)
+        ws_j = jnp.asarray(ws, jnp.int32)
+        if self.mesh is not None:
+            from tinyfaces_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            batch_j, hs_j, ws_j = (jax.device_put(a, sh) for a in (batch_j, hs_j, ws_j))
         return self._fused_pyramid(
             self.variables, self.templates_j, jnp.asarray(masks),
-            jnp.asarray(batch), jnp.asarray(hs, jnp.int32), jnp.asarray(ws, jnp.int32),
+            batch_j, hs_j, ws_j,
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
         )

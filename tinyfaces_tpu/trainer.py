@@ -226,16 +226,28 @@ class Trainer:
         )
         timer = StepTimer(warmup=1)
         n_batches = len(loader)
+
+        # Loss scalars are fetched lazily so the host never blocks the device
+        # pipeline between logging points (fetching every step serializes
+        # H2D/compute; with log_every>1 steps overlap).
+        pending: list = []
+
+        def drain():
+            for pidx, bsz, plb in pending:
+                self.class_average.update(float(plb.class_loss), bsz)
+                self.reg_average.update(float(plb.reg_loss), bsz)
+            pending.clear()
+
         for idx, host_batch in enumerate(loader):
             batch = shard_batch(host_batch, self.mesh)
             state, lb = self.step_fn(state, batch, self.key)
-            bsz = host_batch["image"].shape[0]
-            self.class_average.update(float(lb.class_loss), bsz)
-            self.reg_average.update(float(lb.reg_loss), bsz)
-            timer.tick(items=bsz)
+            pending.append((idx, host_batch["image"].shape[0], lb))
+            timer.tick(items=host_batch["image"].shape[0])
             if idx % log_every == 0:
+                drain()
                 print_state(idx, epoch, n_batches,
                             self.class_average.average, self.reg_average.average)
+        drain()
         if timer.measured_steps:
             print(f"epoch {epoch}: {timer.items_per_sec:.2f} images/sec")
         return state
