@@ -64,16 +64,20 @@ def main():
         detector.detect(images[0])
     lat_ms = (time.time() - t0) / lat_iters * 1e3
 
-    # Pipelined throughput: enqueue batch i+1 before fetching batch i, so
-    # host padding + H2D overlap device compute.
+    # Pipelined throughput: keep DEPTH batches in flight so host padding and
+    # H2D overlap device compute (depth 3 measured best on the tunnel).
+    import collections
+
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    q = collections.deque()
     t0 = time.time()
-    pending = detector.detect_batch_async(images)
-    for _ in range(iters - 1):
-        nxt = detector.detect_batch_async(images)
-        dets = detector._fetch(pending)[-1]
-        pending = nxt
-    dets = detector._fetch(pending)[-1]
+    for _ in range(iters):
+        q.append(detector.detect_batch_async(images))
+        if len(q) > depth:
+            dets = detector._fetch(q.popleft())[-1]
+    while q:
+        dets = detector._fetch(q.popleft())[-1]
     dt = time.time() - t0
 
     imgs_per_sec = iters * batch / dt

@@ -26,22 +26,67 @@ def arguments(argv=None):
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (fp32 decode)")
+    parser.add_argument("--eval-batch", type=int, default=8,
+                        help="device batch per bucket (1 = per-image)")
+    parser.add_argument("--host-resize", action="store_true",
+                        help="PIL per-scale resize (reference resampling)")
 
     return parser.parse_args(argv)
 
 
 def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
-        debug=False):
+        debug=False, eval_batch=8, host_resize=False):
+    """Evaluate the split. Default path groups images that share a padded
+    bucket shape into fixed-size device batches (one compiled program per
+    bucket) and pipelines them; `host_resize` falls back to the per-image
+    PIL-resample path (reference-identical resampling)."""
+    from collections import defaultdict
+
+    from tinyfaces_tpu.evaluation import _round_up
+
     n = len(dataset)
+    done = 0
     dets = None
-    for i in range(n):
+
+    if host_resize or eval_batch <= 1:
+        for i in range(n):
+            image, img_path = dataset[i]
+            dets = detector.detect(image, prob_thresh, nms_thresh,
+                                   host_resize=host_resize)
+            write_results(dets, img_path, split, results_dir)
+            done += 1
+            if done % 25 == 0 or done == n:
+                print(f"[{done}/{n}] {img_path}: {dets.shape[0]} detections")
+            if debug and i >= 4:
+                break
+        return dets
+
+    groups: dict = defaultdict(list)
+
+    def flush(bucket):
+        nonlocal done, dets
+        items = groups.pop(bucket)
+        imgs = [im for im, _ in items]
+        # pad the group to the fixed batch size (stable compile shapes);
+        # surplus outputs are discarded
+        imgs += [imgs[-1]] * (eval_batch - len(imgs))
+        results = detector.detect_batch(imgs, prob_thresh, nms_thresh)
+        for (im, img_path), d in zip(items, results):
+            write_results(d, img_path, split, results_dir)
+            dets = d
+            done += 1
+            if done % 25 == 0 or done == n:
+                print(f"[{done}/{n}] {img_path}: {d.shape[0]} detections")
+
+    limit = 5 if debug else n
+    for i in range(limit):
         image, img_path = dataset[i]
-        dets = detector.detect(image, prob_thresh, nms_thresh)
-        write_results(dets, img_path, split, results_dir)
-        if (i + 1) % 25 == 0 or i == n - 1:
-            print(f"[{i + 1}/{n}] {img_path}: {dets.shape[0]} detections")
-        if debug and i >= 4:
-            break
+        bucket = (_round_up(image.shape[0]), _round_up(image.shape[1]))
+        groups[bucket].append((image, img_path))
+        if len(groups[bucket]) == eval_batch:
+            flush(bucket)
+    for bucket in list(groups):
+        flush(bucket)
     return dets
 
 
@@ -69,6 +114,7 @@ def main():
     run(
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,
+        eval_batch=args.eval_batch, host_resize=args.host_resize,
     )
 
 

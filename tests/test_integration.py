@@ -144,3 +144,29 @@ def test_debug_heatmap_roundtrip(wider_tree):
         (boxes[:, :2] + boxes[:, 2:]) / 2 - np.array([65.0, 70.0])
     ).min(axis=0)
     assert (center_err < 8).all()
+
+
+def test_evaluate_model_run_batched(wider_tree, tmp_path):
+    """The bucket-batched eval CLI path writes one result file per image."""
+    import evaluate_model
+    from tinyfaces_tpu.evaluation import PyramidDetector
+
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (128, 128))
+    det = PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats}, templates,
+        cfg=DetectorConfig(),
+        ec=EvalConfig(scales=(0,), max_dets_per_scale=50, max_total_dets=50),
+    )
+    val = WIDERFace(
+        wider_tree / "wider_face_split" / "val.txt", templates,
+        dataset_root=wider_tree, split="val",
+    )
+    results_dir = tmp_path / "res"
+    evaluate_model.run(
+        det, val, prob_thresh=0.2, nms_thresh=0.3, split="val",
+        results_dir=results_dir, eval_batch=4,
+    )
+    files = sorted(results_dir.glob("*/*.txt"))
+    assert len(files) == len(val)

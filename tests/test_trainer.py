@@ -122,3 +122,32 @@ def test_checkpoint_roundtrip(tmp_path):
         restored["params"]["score_res3"]["kernel"],
         jax.device_get(state.params)["score_res3"]["kernel"],
     )
+
+
+def test_multi_step_scan_matches_sequential():
+    from tinyfaces_tpu.trainer import make_multi_train_step
+
+    templates, model, tx, state0 = _setup()
+    batches = [_toy_batch(2, CFG) for _ in range(3)]
+    key = jax.random.PRNGKey(9)
+
+    # sequential
+    step_fn = make_train_step(model, tx, CFG, templates)
+    state_a = state0
+    for hb in batches:
+        state_a, lb_a = step_fn(state_a, {k: jnp.asarray(v) for k, v in hb.items()}, key)
+
+    # scanned: stack batches on a leading K axis
+    templates2, model2, tx2, state_b = _setup()
+    multi_fn = make_multi_train_step(model2, tx2, CFG, templates2)
+    stacked = {
+        k: jnp.asarray(np.stack([hb[k] for hb in batches])) for k in batches[0]
+    }
+    state_b, lbs = multi_fn(state_b, stacked, key)
+
+    assert lbs.total.shape == (3,)
+    assert int(jax.device_get(state_b.step)) == 3
+    np.testing.assert_allclose(float(lbs.total[-1]), float(lb_a.total), rtol=1e-3)
+    a = jax.device_get(state_a.params)["score_res3"]["kernel"]
+    b = jax.device_get(state_b.params)["score_res3"]["kernel"]
+    np.testing.assert_allclose(a, b, atol=1e-5)

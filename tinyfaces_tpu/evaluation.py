@@ -125,6 +125,7 @@ class PyramidDetector:
         self.ec = ec or EvalConfig()
         self.mesh = mesh
         self._mask_cache: dict[float, np.ndarray] = {}
+        self._stacked_masks: dict[tuple, jnp.ndarray] = {}
 
         stride = float(self.cfg.rf.stride[0])
         offset = float(self.cfg.rf.offset[0])
@@ -286,12 +287,22 @@ class PyramidDetector:
         ws = [im.shape[1] for im in images]
         h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
 
+        # Fill only the padding margins (a full-canvas memset costs more than
+        # the device work at batch 16; np.empty itself is free). A fresh
+        # buffer per call keeps async in-flight transfers safe.
         batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
-        batch[:] = MEAN_PIXEL
         for i, im in enumerate(images):
-            batch[i, : im.shape[0], : im.shape[1]] = im
+            h, w = im.shape[:2]
+            batch[i, :h, :w] = im
+            if w < w0p:
+                batch[i, :h, w:] = MEAN_PIXEL
+            if h < h0p:
+                batch[i, h:] = MEAN_PIXEL
 
-        masks = np.stack([self._template_mask(2.0**s) for s in scales])
+        if scales not in self._stacked_masks:
+            self._stacked_masks[scales] = jnp.asarray(
+                np.stack([self._template_mask(2.0**s) for s in scales])
+            )
         batch_j = jnp.asarray(batch)
         hs_j = jnp.asarray(hs, jnp.int32)
         ws_j = jnp.asarray(ws, jnp.int32)
@@ -301,7 +312,7 @@ class PyramidDetector:
             sh = batch_sharding(self.mesh)
             batch_j, hs_j, ws_j = (jax.device_put(a, sh) for a in (batch_j, hs_j, ws_j))
         return self._fused_pyramid(
-            self.variables, self.templates_j, jnp.asarray(masks),
+            self.variables, self.templates_j, self._stacked_masks[scales],
             batch_j, hs_j, ws_j,
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),

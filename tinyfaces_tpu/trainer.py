@@ -104,6 +104,40 @@ def make_train_step(
     templates: np.ndarray,
 ) -> Callable:
     """Returns jitted (state, batch, key) -> (state, LossBreakdown)."""
+    step = _train_step_body(model, tx, cfg, templates)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_multi_train_step(
+    model: TinyFacesDetector,
+    tx: optax.GradientTransformation,
+    cfg: DetectorConfig,
+    templates: np.ndarray,
+) -> Callable:
+    """K optimizer steps per dispatch via lax.scan over stacked batches.
+
+    Amortizes the fixed per-dispatch latency (≈33 ms on remote-attached
+    chips) across K steps: batches arrive as a pytree with leading (K, B,
+    ...) axes. Returns jitted (state, batches, key) -> (state, LossBreakdown
+    with (K,) leaves)."""
+    step = _train_step_body(model, tx, cfg, templates)
+
+    def multi(state: TrainState, batches: dict, key: jax.Array):
+        def body(carry, batch):
+            new_state, lb = step(carry, batch, key)
+            return new_state, lb
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+def _train_step_body(
+    model: TinyFacesDetector,
+    tx: optax.GradientTransformation,
+    cfg: DetectorConfig,
+    templates: np.ndarray,
+) -> Callable:
     templates_j = jnp.asarray(templates, jnp.float32)
 
     def step(state: TrainState, batch: dict, key: jax.Array):
@@ -137,7 +171,7 @@ def make_train_step(
         )
         return new_state, lb
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
 def print_state(idx: int, epoch: int, size: int, loss_cls: float, loss_reg: float):
