@@ -126,17 +126,31 @@ def main():
 
     from tinyfaces_tpu.utils.profiling import trace
 
+    # Failure handling (SURVEY.md §5): on SIGTERM/SIGINT finish the current
+    # epoch boundary with an emergency checkpoint instead of losing progress.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum}: will checkpoint and stop after this epoch")
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _request_stop)
+
     for epoch in range(start_epoch, args.epochs):
         with trace(args.profile_dir if epoch == start_epoch else None):
             state = trainer.train_epoch(
                 state, train_dataset, epoch, log_every=args.log_every
             )
-        if (epoch + 1) % args.save_every == 0:
+        if (epoch + 1) % args.save_every == 0 or stop_requested["flag"]:
             save_checkpoint(
                 state, epoch + 1, tc.batch_size,
                 save_path=weights_dir,
                 filename=f"checkpoint_{epoch + 1}",
             )
+        if stop_requested["flag"]:
+            break
 
 
 def debug_visualize(dataset):

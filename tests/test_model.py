@@ -107,3 +107,27 @@ def test_bf16_compute_fp32_params():
         assert leaf.dtype == jnp.float32
     out = model.apply(variables, dummy, train=False)
     assert out.dtype == jnp.float32  # cast back at the head
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd backbone must give identical outputs and gradients."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    m1 = TinyFacesDetector(stage_sizes=TINY_STAGES, remat=False)
+    m2 = TinyFacesDetector(stage_sizes=TINY_STAGES, remat=True)
+    v = m1.init(jax.random.PRNGKey(0), x, train=False)
+
+    o1 = m1.apply(v, x, train=False)
+    o2 = m2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    g2 = jax.grad(lambda p: loss(m2, p))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3)

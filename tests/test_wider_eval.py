@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from wider_eval import dataset_eval, image_eval, read_results_dir
 
@@ -55,3 +56,52 @@ def test_read_results_roundtrip(tmp_path):
     out = read_results_dir(tmp_path)
     assert "ev/img.jpg" in out
     np.testing.assert_allclose(out["ev/img.jpg"][0], [10, 20, 41, 61, 0.5])
+
+
+def test_gt_from_mats_exact_splits(tmp_path):
+    """Exact easy/medium/hard split loading from synthesized eval_tools
+    ground-truth .mat files (official structure)."""
+    scipy_io = pytest.importorskip("scipy.io")
+
+    gdir = tmp_path / "ground_truth"
+    gdir.mkdir()
+
+    events = np.array([["0--Ev"]], dtype=object)
+    file_list = np.empty((1, 1), dtype=object)
+    file_list[0, 0] = np.array([["imA"], ["imB"]], dtype=object)
+    bbx = np.empty((2, 1), dtype=object)
+    bbx[0, 0] = np.array([[10.0, 10, 20, 20], [50, 50, 30, 30]])
+    bbx[1, 0] = np.zeros((0, 4))
+    face_bbx_list = np.empty((1, 1), dtype=object)
+    face_bbx_list[0, 0] = bbx
+    scipy_io.savemat(gdir / "wider_face_val.mat", {
+        "event_list": events, "file_list": file_list,
+        "face_bbx_list": face_bbx_list,
+    })
+
+    for name, keep_rows in (("easy", [[1]]), ("medium", [[1, 2]]), ("hard", [[1, 2]])):
+        gt_list = np.empty((1, 1), dtype=object)
+        inner = np.empty((2, 1), dtype=object)
+        inner[0, 0] = np.array(keep_rows[0], float).reshape(-1, 1)
+        inner[1, 0] = np.zeros((0, 0))
+        gt_list[0, 0] = inner
+        scipy_io.savemat(gdir / f"wider_{name}_val.mat", {"gt_list": gt_list})
+
+    from wider_eval import gt_from_mats
+
+    gt, keep = gt_from_mats(tmp_path)
+    assert set(gt) == {"0--Ev/imA.jpg", "0--Ev/imB.jpg"}
+    assert gt["0--Ev/imA.jpg"].shape == (2, 4)
+    np.testing.assert_array_equal(keep["easy"]["0--Ev/imA.jpg"], [True, False])
+    np.testing.assert_array_equal(keep["medium"]["0--Ev/imA.jpg"], [True, True])
+    assert keep["hard"]["0--Ev/imB.jpg"].shape == (0,)
+
+    # end-to-end: perfect detections on the easy split give AP 1.0
+    from wider_eval import dataset_eval
+
+    results = {
+        "0--Ev/imA.jpg": np.array([[10.0, 10, 20, 20, 2.0], [50, 50, 30, 30, 1.0]]),
+        "0--Ev/imB.jpg": np.zeros((0, 5)),
+    }
+    ap_easy = dataset_eval(results, gt, keep["easy"])
+    assert ap_easy > 0.99

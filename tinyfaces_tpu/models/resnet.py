@@ -112,7 +112,8 @@ class ResNetBackbone(nn.Module):
 
         block_cls = Bottleneck
         if self.remat:
-            block_cls = nn.remat(Bottleneck, static_argnums=(1,))
+            # static_argnums indexes (module, x, train) — `train` is static.
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
 
         feats = {}
         for stage_idx, (n_blocks, width) in enumerate(

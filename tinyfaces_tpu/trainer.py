@@ -116,10 +116,15 @@ def make_multi_train_step(
 ) -> Callable:
     """K optimizer steps per dispatch via lax.scan over stacked batches.
 
-    Amortizes the fixed per-dispatch latency (≈33 ms on remote-attached
-    chips) across K steps: batches arrive as a pytree with leading (K, B,
-    ...) axes. Returns jitted (state, batches, key) -> (state, LossBreakdown
-    with (K,) leaves)."""
+    Amortizes the fixed per-dispatch latency across K steps: batches arrive
+    as a pytree with leading (K, B, ...) axes. Returns jitted
+    (state, batches, key) -> (state, LossBreakdown with (K,) leaves).
+
+    Measured caveat (tools/train_bench.py --multi): on v5e this currently
+    LOSES to sequential dispatch (450 vs 178 ms/step at batch 12) — XLA
+    compiles the scan body once with conservative conv layouts, which costs
+    more than the ~33 ms dispatch it saves. Kept as an option for
+    dispatch-latency-dominated setups (tiny models / many chips)."""
     step = _train_step_body(model, tx, cfg, templates)
 
     def multi(state: TrainState, batches: dict, key: jax.Array):

@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--multi", type=int, default=0,
+                        help="K>0: run K steps per dispatch via lax.scan")
     args = parser.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
@@ -79,6 +81,35 @@ def main():
         }
 
     key = jax.random.PRNGKey(1)
+    dtype = "bf16" if args.bf16 else "fp32"
+
+    if args.multi > 0:
+        from tinyfaces_tpu.trainer import make_multi_train_step
+
+        multi_fn = make_multi_train_step(model, tx, cfg, templates)
+
+        def stack():
+            bs = [make_batch() for _ in range(args.multi)]
+            return shard_batch(
+                {k: np.stack([b[k] for b in bs]) for k in bs[0]}, mesh
+            )
+
+        t0 = time.time()
+        state, lbs = multi_fn(state, stack(), key)
+        jax.block_until_ready(lbs.total)
+        print(f"compile+first call: {time.time() - t0:.1f}s")
+
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, lbs = multi_fn(state, stack(), key)
+        jax.block_until_ready(lbs.total)
+        dt = (time.time() - t0) / (args.iters * args.multi)
+        print(
+            f"train_step[{dtype} scan x{args.multi}] batch={args.batch}: "
+            f"{dt * 1e3:.1f} ms/step, {args.batch / dt:.2f} images/sec/chip"
+        )
+        clean_exit()
+
     t0 = time.time()
     state, lb = step_fn(state, shard_batch(make_batch(), mesh), key)
     jax.block_until_ready(lb.total)
@@ -91,7 +122,6 @@ def main():
     jax.block_until_ready(lb.total)
     dt = (time.time() - t0) / args.iters
 
-    dtype = "bf16" if args.bf16 else "fp32"
     print(
         f"train_step[{dtype}{'+remat' if args.remat else ''}] "
         f"batch={args.batch}: {dt * 1e3:.1f} ms/step, "
