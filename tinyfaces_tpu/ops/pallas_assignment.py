@@ -235,10 +235,13 @@ def assign_targets_fused(
     )
 
     # --- Classification map (identical rules to ops/assignment.py) ---------
+    # Scatter-free per-GT-best mask: broadcast-compare the flat anchor index
+    # grid against the (G,) winner indices (TPU scatters serialize; a 99k x
+    # 192 compare+any is one fused VPU pass).
     force = (pgt_max > neg_thresh) & gt_valid
-    pgt_idx = jnp.clip(pgt_idx, 0, vsy * vsx * nt - 1)
-    best_anchor_mask = (
-        jnp.zeros((vsy * vsx * nt,), dtype=bool).at[pgt_idx].max(force)
+    flat_ids = jnp.arange(vsy * vsx * nt, dtype=jnp.int32)
+    best_anchor_mask = jnp.any(
+        (flat_ids[:, None] == pgt_idx[None, :]) & force[None, :], axis=1
     ).reshape(vsy, vsx, nt)
 
     class_map = jnp.full((vsy, vsx, nt), -1.0, dtype=jnp.float32)
@@ -253,15 +256,30 @@ def assign_targets_fused(
     coarse_y = ofy + jnp.arange(vsy, dtype=jnp.float32) * sty
     dww = templates[:, 2] - templates[:, 0] + 1.0
     dhh = templates[:, 3] - templates[:, 1] + 1.0
-    fcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2.0
-    fcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2.0
-    fww = gt_boxes[:, 2] - gt_boxes[:, 0] + 1.0
-    fhh = gt_boxes[:, 3] - gt_boxes[:, 1] + 1.0
 
-    tx = (fcx[best_gt] - coarse_x[None, :, None]) / dww[None, None, :]
-    ty = (fcy[best_gt] - coarse_y[:, None, None]) / dhh[None, None, :]
-    tw = jnp.log(fww[best_gt] / dww[None, None, :])
-    th = jnp.log(fhh[best_gt] / dhh[None, None, :])
+    # Gather-free best-GT stats: one-hot(best_gt) @ per-GT table rides the
+    # MXU instead of 4 element gathers (which lower to slow dynamic-gathers).
+    gt_table = jnp.stack(
+        [
+            (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2.0,  # fcx
+            (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2.0,  # fcy
+            gt_boxes[:, 2] - gt_boxes[:, 0] + 1.0,  # fww
+            gt_boxes[:, 3] - gt_boxes[:, 1] + 1.0,  # fhh
+        ],
+        axis=1,
+    )  # (G, 4)
+    ng = gt_boxes.shape[0]
+    onehot = (
+        best_gt.reshape(-1, 1) == jnp.arange(ng, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    sel = jnp.dot(onehot, gt_table, preferred_element_type=jnp.float32)
+    sel = sel.reshape(vsy, vsx, nt, 4)
+    sel_cx, sel_cy, sel_w, sel_h = (sel[..., i] for i in range(4))
+
+    tx = (sel_cx - coarse_x[None, :, None]) / dww[None, None, :]
+    ty = (sel_cy - coarse_y[:, None, None]) / dhh[None, None, :]
+    tw = jnp.log(sel_w / dww[None, None, :])
+    th = jnp.log(sel_h / dhh[None, None, :])
     regress_map = jnp.concatenate([tx, ty, tw, th], axis=2)
     regress_map = jnp.where(any_gt, regress_map, 0.0)
 
