@@ -32,9 +32,57 @@ struct Box {
   float x1, y1, x2, y2;
 };
 
+// Exact 0.5x: 2x2 box average (matches bilinear at factor 0.5 pixel-center
+// alignment). Tight inner loop, auto-vectorizes.
+void resize_half(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                 int dw) {
+  for (int y = 0; y < dh; ++y) {
+    const uint8_t* r0 = src + static_cast<size_t>(std::min(2 * y, sh - 1)) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(std::min(2 * y + 1, sh - 1)) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      int x0 = std::min(2 * x, sw - 1) * 3, x1 = std::min(2 * x + 1, sw - 1) * 3;
+      for (int c = 0; c < 3; ++c)
+        out[x * 3 + c] = static_cast<uint8_t>(
+            (r0[x0 + c] + r0[x1 + c] + r1[x0 + c] + r1[x1 + c] + 2) >> 2);
+    }
+  }
+}
+
+// Exact 2x: fixed-weight (1/4, 3/4) bilinear phases.
+void resize_double(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                   int dw) {
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * 0.5f - 0.5f;
+    int y0 = std::clamp(static_cast<int>(std::floor(fy)), 0, sh - 1);
+    int y1 = std::min(y0 + 1, sh - 1);
+    int wy = (y % 2 == 1) ? 1 : 3;  // fy frac is .25 or .75 -> weights /4
+    if (fy < 0) { y1 = y0; wy = 0; }
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * 0.5f - 0.5f;
+      int x0 = std::clamp(static_cast<int>(std::floor(fx)), 0, sw - 1);
+      int x1 = std::min(x0 + 1, sw - 1);
+      int wx = (x % 2 == 1) ? 1 : 3;
+      if (fx < 0) { x1 = x0; wx = 0; }
+      for (int c = 0; c < 3; ++c) {
+        int top = r0[x0 * 3 + c] * (4 - wx) + r0[x1 * 3 + c] * wx;
+        int bot = r1[x0 * 3 + c] * (4 - wx) + r1[x1 * 3 + c] * wx;
+        out[x * 3 + c] = static_cast<uint8_t>((top * (4 - wy) + bot * wy + 8) >> 4);
+      }
+    }
+  }
+}
+
 // Bilinear resize, uint8 RGB. Half/double-size augmentation quality only.
 void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                      int dw) {
+  if (dh * 2 == sh || dh * 2 + 1 == sh) {
+    if (dw * 2 == sw || dw * 2 + 1 == sw) return resize_half(src, sh, sw, dst, dh, dw);
+  }
+  if (dh == sh * 2 && dw == sw * 2) return resize_double(src, sh, sw, dst, dh, dw);
   const float ys = static_cast<float>(sh) / dh;
   const float xs = static_cast<float>(sw) / dw;
   for (int y = 0; y < dh; ++y) {

@@ -86,9 +86,10 @@ class PrefetchLoader:
 
 class NativePrefetchLoader(PrefetchLoader):
     """PrefetchLoader variant that runs the augmentation chain in the C++
-    engine (native/): worker threads only decode JPEGs; crop/paste/flip/box
-    filtering happen in native threads per batch. Falls back implicitly if
-    the caller checked data.native.is_available() first."""
+    engine (native/): each worker thread decodes a JPEG and immediately
+    augments it via a per-sample native call (the ctypes call drops the GIL,
+    so decode and C++ augmentation of different samples pipeline freely).
+    Falls back implicitly if the caller checked data.native.is_available()."""
 
     def __iter__(self) -> Iterator[dict]:
         from tinyfaces_tpu.data import native
@@ -104,25 +105,21 @@ class NativePrefetchLoader(PrefetchLoader):
         base_seed = int(self.rng.integers(0, 2**62))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
-        def decode(i: int):
+        def decode_and_augment(i: int):
             sample = self.dataset.samples[i]
-            return self.dataset._decode(i), sample.bboxes.astype(np.float32)
+            img = self.dataset._decode(i)
+            return native.native_augment_sample(
+                img, sample.bboxes.astype(np.float32), cfg.input_size,
+                cfg.neg_thresh, cfg.max_gt,
+                seed=base_seed + int(i) * 0x9E3779B9,
+            )
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for b in range(nb):
                         idxs = [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
-                        decoded = list(pool.map(decode, idxs))
-                        images = [d[0] for d in decoded]
-                        boxes = [d[1] for d in decoded]
-                        q.put(
-                            native.native_augment_batch(
-                                images, boxes, cfg.input_size, cfg.neg_thresh,
-                                cfg.max_gt, seed=base_seed + b,
-                                n_threads=self.workers,
-                            )
-                        )
+                        q.put(_collate(list(pool.map(decode_and_augment, idxs))))
             except BaseException as e:
                 q.put(e)
                 return

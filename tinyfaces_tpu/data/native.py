@@ -35,6 +35,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.tf_version.restype = ctypes.c_int
         assert lib.tf_version() == 1
+        lib.tf_augment_sample.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,  # img, h, w
+            ctypes.c_void_p, ctypes.c_int,  # boxes, n_boxes
+            ctypes.c_int, ctypes.c_int,  # input_h, input_w
+            ctypes.c_float,  # neg_thresh
+            ctypes.c_int,  # max_gt
+            ctypes.c_uint64,  # seed
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,  # outputs
+        ]
         lib.tf_augment_batch.argtypes = [
             ctypes.c_int,  # batch
             ctypes.POINTER(ctypes.c_void_p),  # imgs
@@ -59,6 +69,49 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def is_available() -> bool:
     return _load() is not None
+
+
+def native_augment_sample(
+    image: np.ndarray,  # (H, W, 3) uint8
+    boxes: np.ndarray,  # (N, 4) float32
+    input_size: tuple[int, int],
+    neg_thresh: float,
+    max_gt: int,
+    seed: int,
+) -> dict:
+    """Augment ONE sample in C++ (GIL released for the call's duration —
+    callers run this from worker threads so decode and augment pipeline)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native augmentation library unavailable")
+
+    image = np.ascontiguousarray(image, np.uint8)
+    boxes = np.ascontiguousarray(boxes, np.float32).reshape(-1, 4)
+    ih, iw = input_size
+
+    out_canvas = np.empty((ih, iw, 3), np.uint8)
+    out_gt = np.empty((max_gt, 4), np.float32)
+    out_valid = np.empty((max_gt,), np.uint8)
+    out_paste = np.empty((4,), np.float32)
+    out_flip = np.empty((1,), np.uint8)
+
+    lib.tf_augment_sample(
+        image.ctypes.data_as(ctypes.c_void_p), image.shape[0], image.shape[1],
+        boxes.ctypes.data_as(ctypes.c_void_p), boxes.shape[0],
+        ih, iw, ctypes.c_float(neg_thresh), max_gt, ctypes.c_uint64(seed),
+        out_canvas.ctypes.data_as(ctypes.c_void_p),
+        out_gt.ctypes.data_as(ctypes.c_void_p),
+        out_valid.ctypes.data_as(ctypes.c_void_p),
+        out_paste.ctypes.data_as(ctypes.c_void_p),
+        out_flip.ctypes.data_as(ctypes.c_void_p),
+    )
+    return {
+        "image": out_canvas,
+        "gt_boxes": out_gt,
+        "gt_valid": out_valid.astype(bool),
+        "paste_box": out_paste,
+        "flip": bool(out_flip[0]),
+    }
 
 
 def native_augment_batch(
