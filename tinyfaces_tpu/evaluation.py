@@ -219,6 +219,9 @@ class PyramidDetector:
             boxes = jnp.concatenate(all_b, axis=1)
             scores = jnp.concatenate(all_s, axis=1)
             valid = jnp.concatenate(all_v, axis=1)
+            # Note: a pre-NMS top-K candidate cut was measured (~3% e2e) but
+            # rejected — it drops isolated low-score boxes the reference
+            # would keep (it thresholds but never caps candidates).
             return jax.vmap(
                 lambda bb, ss, vv: batched_nms_padded(
                     bb, ss, nms_thresh, vv, self.ec.max_total_dets
