@@ -63,13 +63,21 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
 
     groups: dict = defaultdict(list)
 
+    # HBM guard: the 2x pyramid level dominates activation memory, so cap the
+    # per-bucket batch by a pixel budget (eval_batch at the 768x1024-class
+    # bucket, fewer for larger originals, always >= 1).
+    budget_px = eval_batch * 768 * 1024
+
+    def bucket_batch(bucket) -> int:
+        return max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
+
     def flush(bucket):
         nonlocal done, dets
         items = groups.pop(bucket)
         imgs = [im for im, _ in items]
-        # pad the group to the fixed batch size (stable compile shapes);
-        # surplus outputs are discarded
-        imgs += [imgs[-1]] * (eval_batch - len(imgs))
+        # pad the group to the bucket's fixed batch size (stable compile
+        # shapes); surplus outputs are discarded
+        imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
         results = detector.detect_batch(imgs, prob_thresh, nms_thresh)
         for (im, img_path), d in zip(items, results):
             write_results(d, img_path, split, results_dir)
@@ -83,7 +91,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         image, img_path = dataset[i]
         bucket = (_round_up(image.shape[0]), _round_up(image.shape[1]))
         groups[bucket].append((image, img_path))
-        if len(groups[bucket]) == eval_batch:
+        if len(groups[bucket]) >= bucket_batch(bucket):
             flush(bucket)
     for bucket in list(groups):
         flush(bucket)
