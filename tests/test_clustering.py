@@ -57,3 +57,46 @@ def test_compute_kmedoids_return_layout():
     assert len(clustering) == k + 1
     assert clustering[k]["n_clusters"] == k
     assert np.asarray(clustering[k]["medoids"]).shape == (k, 4)
+
+
+def test_cluster_cli_writes_templates(tmp_path, monkeypatch):
+    """tools/cluster_templates.py end to end on a synthetic annotation file."""
+    import json
+    import sys
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(3):
+        rows = []
+        for _ in range(30):
+            w, h = int(rng.integers(10, 120)), int(rng.integers(10, 120))
+            rows.append(f"{rng.integers(0, 200)} {rng.integers(0, 200)} {w} {h} 0 0 0 0 0 0")
+        lines += [f"0--Ev/im{i}.jpg", str(len(rows))] + rows
+    ann = tmp_path / "gt.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "templates.json"
+
+    import tools.cluster_templates as ct
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cluster_templates.py", str(ann), "--num-templates", "10",
+         "--out", str(out)],
+    )
+    ct.main()
+    templates = np.asarray(json.load(open(out)))
+    assert templates.shape == (10, 5)
+    # centered boxes with the natural-scale column
+    np.testing.assert_allclose(templates[:, 0], -templates[:, 2])
+    np.testing.assert_allclose(templates[:, 4], 1.0)
+    # sorted large -> small by area
+    areas = (templates[:, 2] - templates[:, 0]) * (templates[:, 3] - templates[:, 1])
+    assert (np.diff(areas) <= 1e-9).all()
+
+
+def test_kmedoids_k_exceeds_points():
+    import pytest as _pytest
+
+    dist = np.zeros((3, 3))
+    with _pytest.raises(ValueError):
+        k_medoids(dist, 5, np.random.default_rng(0))

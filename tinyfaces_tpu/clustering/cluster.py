@@ -61,6 +61,8 @@ def k_medoids(distances: np.ndarray, k: int, rng: np.random.Generator,
     Returns (medoid_indices (k,), assignment (N,)).
     """
     n = distances.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds the {n} available boxes")
     medoids = rng.choice(n, size=k, replace=False)
 
     for _ in range(max_iter):

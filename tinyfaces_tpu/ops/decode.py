@@ -89,7 +89,11 @@ def decode_scores(
         prob = jnp.where(row_ok & col_ok, prob, 0.0)
 
     flat_prob = prob.reshape(-1)
-    top_prob, top_idx = jax.lax.top_k(flat_prob, k)
+    k_eff = min(k, flat_prob.shape[0])
+    top_prob, top_idx = jax.lax.top_k(flat_prob, k_eff)
+    if k_eff < k:  # tiny maps: keep the static K output shape
+        top_prob = jnp.pad(top_prob, (0, k - k_eff))
+        top_idx = jnp.pad(top_idx, (0, k - k_eff))
     valid = top_prob > prob_thresh
 
     fc = top_idx % nt

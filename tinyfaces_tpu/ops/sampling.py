@@ -47,6 +47,8 @@ def _keep_random_k(
     If fewer than K candidates exist, all are kept. `candidates` is a flat
     bool array; K must be static.
     """
+    if k >= candidates.shape[0]:
+        return candidates
     u = jax.random.uniform(key, candidates.shape)
     ranked = jnp.where(candidates, u, jnp.inf)
     # K-th smallest candidate key (kth_val == +inf when #candidates < K).
