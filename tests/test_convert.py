@@ -45,18 +45,24 @@ class TorchBottleneck(nn.Module):
 
 
 class TorchTinyFaces(nn.Module):
-    """Reference DetectionModel geometry with 1 block per stage."""
+    """Reference DetectionModel geometry with configurable stage depths."""
 
-    def __init__(self, nt=25):
+    def __init__(self, nt=25, stages=(1, 1, 1)):
         super().__init__()
         out = 5 * nt
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU()
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
-        self.layer1 = nn.Sequential(TorchBottleneck(64, 64))
-        self.layer2 = nn.Sequential(TorchBottleneck(256, 128, stride=2))
-        self.layer3 = nn.Sequential(TorchBottleneck(512, 256, stride=2))
+
+        def stage(cin, width, n, stride):
+            blocks = [TorchBottleneck(cin, width, stride=stride)]
+            blocks += [TorchBottleneck(width * 4, width) for _ in range(n - 1)]
+            return nn.Sequential(*blocks)
+
+        self.layer1 = stage(64, 64, stages[0], 1)
+        self.layer2 = stage(256, 128, stages[1], 2)
+        self.layer3 = stage(512, 256, stages[2], 2)
         self.score_res3 = nn.Conv2d(512, out, 1)
         self.score_res4 = nn.Conv2d(1024, out, 1)
         self.score4_upsample = nn.ConvTranspose2d(out, out, 4, stride=2, padding=1,
@@ -109,3 +115,31 @@ def test_full_model_parity_torch_vs_jax():
         got_nchw = got.transpose(0, 3, 1, 2)
         assert got_nchw.shape == want.shape, (got_nchw.shape, want.shape)
         np.testing.assert_allclose(got_nchw, want, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_full_depth_resnet101_conversion_parity():
+    """Full (3, 4, 23) stage depths — insurance that converted real
+    reference/torchvision ResNet-101 checkpoints drop in exactly."""
+    torch.manual_seed(1)
+    tmodel = TorchTinyFaces(stages=(3, 4, 23))
+    tmodel.eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    sd = {("model." + k if not k.startswith("score") else k): v.numpy()
+          for k, v in tmodel.state_dict().items()}
+    converted = convert_state_dict(sd)
+    variables = {"params": converted["params"],
+                 "batch_stats": converted["batch_stats"]}
+
+    jmodel = TinyFacesDetector()  # default RESNET101_STAGES
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (1, 128, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(jmodel.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=5e-4)
