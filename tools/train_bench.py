@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--multi", type=int, default=0,
                         help="K>0: run K steps per dispatch via lax.scan")
+    parser.add_argument("--fast-precision", action="store_true",
+                        help="bf16 matmul precision for fp32 tensors "
+                             "(single-pass MXU instead of bf16x3)")
     args = parser.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
@@ -34,6 +37,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if args.fast_precision:
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     from tinyfaces_tpu.config import DetectorConfig, TrainConfig
     from tinyfaces_tpu.data import load_templates
@@ -81,7 +87,7 @@ def main():
         }
 
     key = jax.random.PRNGKey(1)
-    dtype = "bf16" if args.bf16 else "fp32"
+    dtype = ("bf16" if args.bf16 else "fp32") + ("/fastmm" if args.fast_precision else "")
 
     if args.multi > 0:
         from tinyfaces_tpu.trainer import make_multi_train_step
