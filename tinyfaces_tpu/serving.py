@@ -1,0 +1,126 @@
+"""Production serving: dynamic-batching detection service.
+
+The reference has no serving story (per-image scripts only). This service
+wraps PyramidDetector's fused async path with request coalescing:
+
+  * callers submit images from any thread and get a Future;
+  * a dispatcher thread groups pending requests into device batches
+    (same-bucket images together, padded to the bucket batch) under a
+    max-batch / max-latency policy;
+  * batches are enqueued with detect_batch_async so host prep and H2D of
+    the next batch overlap device compute of the current one.
+
+Throughput scales with the fused program's batched rate (bench.py) while
+per-request latency stays bounded by `max_delay_ms`.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tinyfaces_tpu.evaluation import PyramidDetector, _round_up
+
+
+class DetectionService:
+    def __init__(
+        self,
+        detector: PyramidDetector,
+        max_batch: int = 16,
+        max_delay_ms: float = 25.0,
+        scales: Optional[Sequence[int]] = None,
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+    ):
+        self.detector = detector
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self.scales = scales
+        self.prob_thresh = prob_thresh
+        self.nms_thresh = nms_thresh
+
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._dispatcher = threading.Thread(target=self._run, daemon=True)
+        self._dispatcher.start()
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one (H, W, 3) uint8 image; resolves to (N, 5) detections."""
+        fut: Future = Future()
+        self._queue.put((image, fut))
+        return fut
+
+    def detect(self, image: np.ndarray) -> np.ndarray:
+        return self.submit(image).result()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._dispatcher.join(timeout=5)
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _drain_group(self) -> list:
+        """Collect up to max_batch same-bucket requests within max_delay."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        group = [first]
+        bucket = self._bucket(first[0])
+        deadline = self.max_delay
+        import time
+
+        t0 = time.monotonic()
+        leftovers = []
+        while len(group) < self.max_batch:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if self._bucket(item[0]) == bucket:
+                group.append(item)
+            else:
+                leftovers.append(item)
+        for item in leftovers:  # different bucket: next round
+            self._queue.put(item)
+        return group
+
+    @staticmethod
+    def _bucket(image: np.ndarray) -> tuple[int, int]:
+        return (_round_up(image.shape[0]), _round_up(image.shape[1]))
+
+    def _resolve(self, entry) -> None:
+        async_result, group = entry
+        try:
+            results = self.detector._fetch(async_result)
+            for (_, fut), dets in zip(group, results):
+                fut.set_result(dets)
+        except Exception as e:
+            for _, fut in group:
+                fut.set_exception(e)
+
+    def _run(self) -> None:
+        pending: list = []  # in-flight [(async_result, group)], depth <= 2
+        while not self._stop.is_set() or not self._queue.empty() or pending:
+            group = self._drain_group()
+            if group:
+                try:
+                    async_result = self.detector.detect_batch_async(
+                        [im for im, _ in group],
+                        self.prob_thresh, self.nms_thresh, self.scales,
+                    )
+                    pending.append((async_result, group))
+                except Exception as e:  # propagate setup errors to callers
+                    for _, fut in group:
+                        fut.set_exception(e)
+            # keep pipeline depth 2: resolve the oldest batch when a newer
+            # one is in flight, or when there is no new work to enqueue
+            if pending and (len(pending) >= 2 or not group):
+                self._resolve(pending.pop(0))
