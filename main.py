@@ -46,6 +46,8 @@ def arguments(argv=None):
                         help="capture a jax.profiler trace of epoch 0 here")
     parser.add_argument("--log-every", default=1, type=int,
                         help="console cadence; >1 unblocks device pipelining")
+    parser.add_argument("--metrics-log", default="",
+                        help="append structured JSONL training metrics here")
 
     return parser.parse_args(argv)
 
@@ -98,7 +100,8 @@ def main():
     weights_dir = Path("weights")
     weights_dir.mkdir(exist_ok=True)
 
-    trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates, seed=args.seed)
+    trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates,
+                      seed=args.seed, metrics_path=args.metrics_log or None)
     steps_per_epoch = max(1, len(train_dataset) // tc.batch_size)
     state = trainer.setup(steps_per_epoch, params, batch_stats)
 

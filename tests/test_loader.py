@@ -61,3 +61,24 @@ def test_step_timer():
     assert t.measured_steps == 3
     assert t.items_per_sec > 0
     assert abs(t.items_per_sec - 3 * 4 / t.elapsed) < 1e-6
+
+
+def test_metrics_logger(tmp_path):
+    import json
+
+    from tinyfaces_tpu.utils.metrics_log import MetricsLogger
+
+    path = tmp_path / "m.jsonl"
+    m = MetricsLogger(path)
+    m.log(epoch=0, step=1, loss_cls=2.5)
+    m.log(epoch=0, event="epoch_end", loss_cls=2.0)
+    m.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[0]["loss_cls"] == 2.5
+    assert lines[1]["event"] == "epoch_end"
+    assert "t" in lines[0]
+
+    # disabled logger is a no-op
+    off = MetricsLogger(None)
+    off.log(epoch=0)
+    off.close()

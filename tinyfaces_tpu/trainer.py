@@ -231,6 +231,7 @@ class Trainer:
     templates: np.ndarray
     mesh: Any = None
     seed: int = 0
+    metrics_path: Any = None  # JSONL structured log (optional)
 
     def __post_init__(self):
         if self.mesh is None:
@@ -245,6 +246,10 @@ class Trainer:
         self.class_average = AvgMeter()
         self.reg_average = AvgMeter()
         self.key = jax.random.PRNGKey(self.seed)
+
+        from tinyfaces_tpu.utils.metrics_log import MetricsLogger
+
+        self.metrics = MetricsLogger(self.metrics_path)
 
     def setup(self, steps_per_epoch: int, params, batch_stats) -> TrainState:
         self.tx = make_optimizer(self.tc, steps_per_epoch)
@@ -286,7 +291,19 @@ class Trainer:
                 drain()
                 print_state(idx, epoch, n_batches,
                             self.class_average.average, self.reg_average.average)
+                self.metrics.log(
+                    epoch=epoch, step=idx,
+                    loss_cls=self.class_average.average,
+                    loss_reg=self.reg_average.average,
+                    images_per_sec=timer.items_per_sec,
+                )
         drain()
         if timer.measured_steps:
             print(f"epoch {epoch}: {timer.items_per_sec:.2f} images/sec")
+            self.metrics.log(
+                epoch=epoch, event="epoch_end",
+                loss_cls=self.class_average.average,
+                loss_reg=self.reg_average.average,
+                images_per_sec=timer.items_per_sec,
+            )
         return state
