@@ -105,3 +105,44 @@ def test_gt_from_mats_exact_splits(tmp_path):
     }
     ap_easy = dataset_eval(results, gt, keep["easy"])
     assert ap_easy > 0.99
+
+
+def test_wider_protocol_agrees_with_voc_average_precision():
+    """Two independent AP implementations (the 1000-threshold WIDER protocol
+    and the per-detection VOC ranking) must agree closely on clean data."""
+    from tinyfaces_tpu.metrics import average_precision
+
+    rng = np.random.default_rng(7)
+    gt, keep, results = {}, {}, {}
+    class_recs, det_rows, confidences, image_ids = {}, [], [], []
+    npos = 0
+    for i in range(12):
+        img = f"e/im{i}.jpg"
+        n = int(rng.integers(1, 6))
+        xy = rng.uniform(0, 300, (n, 2))
+        wh = rng.uniform(20, 60, (n, 2))
+        xywh = np.concatenate([xy, wh], axis=1)
+        gt[img] = xywh
+        keep[img] = np.ones(n, bool)
+        class_recs[img] = {"bbox": xywh.copy(), "det": [False] * n}
+        npos += n
+
+        dets = []
+        for j in range(n):
+            score = rng.uniform(0.3, 1.0)
+            if rng.random() < 0.75:  # true positive, slightly jittered
+                d = xywh[j] + rng.normal(0, 1.0, 4)
+            else:  # false positive far away
+                d = np.array([400 + 50 * j, 400, 30, 30.0])
+            dets.append([*d, score])
+            x, y, w, h = d
+            det_rows.append([x, y, x + w - 1, y + h - 1])
+            confidences.append(score)
+            image_ids.append(img)
+        results[img] = np.array(dets)
+
+    ap_wider = dataset_eval(results, gt, keep)
+    ap_voc, _, _ = average_precision(
+        np.array(confidences), np.array(det_rows), image_ids, class_recs, npos
+    )
+    assert abs(ap_wider - ap_voc) < 0.05, (ap_wider, ap_voc)
