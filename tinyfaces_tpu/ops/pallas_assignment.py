@@ -304,7 +304,15 @@ def assign_targets_fused(
     onehot = (
         best_gt.reshape(-1, 1) == jnp.arange(ng, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)
-    sel = jnp.dot(onehot, gt_table, preferred_element_type=jnp.float32)
+    # HIGHEST precision: default TPU matmul truncates operands to bf16,
+    # which loses ~0.04 px on box-coordinate selection (caught by
+    # tools/tpu_selftest.py); the one-hot operand is exact either way but
+    # the (G, 4) stats table is not.
+    sel = jnp.dot(
+        onehot, gt_table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     sel = sel.reshape(vsy, vsx, nt, 4)
     sel_cx, sel_cy, sel_w, sel_h = (sel[..., i] for i in range(4))
 
