@@ -37,23 +37,62 @@ class PrefetchLoader:
 
     def __init__(self, dataset, batch_size: int, workers: int = 8,
                  prefetch: int = 4, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, epoch: int = 0,
+                 rank: int = 0, world: int = 1):
+        """`epoch`: starting epoch for the (seed, epoch)-derived shuffle and
+        augmentation streams — pass the true training epoch when a fresh
+        loader is built per epoch (Trainer does), so each epoch draws fresh
+        augmentations yet remains exactly reproducible.
+
+        `rank`/`world`: multi-host SPMD input feeding. `batch_size` stays the
+        GLOBAL batch; every process computes the identical (seed, epoch)
+        shuffle and decodes only its `batch_size // world` row slice of each
+        global batch (rows [rank*per, (rank+1)*per)). Feed the result through
+        parallel.distributed.host_local_batch to assemble the global array
+        without cross-host data movement."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.workers = max(1, workers)
         self.prefetch = prefetch
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = epoch
+        if world > 1 and batch_size % world:
+            raise ValueError(f"batch_size {batch_size} not divisible by world {world}")
+        self.rank = rank
+        self.world = world
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _begin_epoch(self) -> np.ndarray:
+        """Per-epoch deterministic state: shuffle order is a pure function of
+        (seed, epoch), and the dataset's per-sample augmentation generators
+        are rebased on the same epoch. Two same-seed loaders therefore
+        produce identical batches regardless of worker-thread scheduling."""
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng(
+                np.random.SeedSequence((self.seed, self.epoch))
+            ).shuffle(order)
+        self.epoch += 1
+        return order
+
+    def _batch_indices(self, order: np.ndarray, b: int) -> np.ndarray:
+        """Global batch b's sample indices, restricted to this process's
+        row slice under multi-host feeding (identity when world == 1)."""
+        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+        if self.world > 1:
+            per = self.batch_size // self.world
+            idxs = idxs[self.rank * per : (self.rank + 1) * per]
+        return idxs
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._begin_epoch()
         nb = len(self)
         if nb == 0:
             return
@@ -64,7 +103,7 @@ class PrefetchLoader:
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for b in range(nb):
-                        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        idxs = self._batch_indices(order, b)
                         items = list(pool.map(self.dataset.__getitem__, [int(i) for i in idxs]))
                         q.put(_collate(items))
             except BaseException as e:  # surface worker errors to the consumer
@@ -94,15 +133,19 @@ class NativePrefetchLoader(PrefetchLoader):
     def __iter__(self) -> Iterator[dict]:
         from tinyfaces_tpu.data import native
 
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._begin_epoch()
         nb = len(self)
         if nb == 0:
             return
 
         cfg = self.dataset.cfg
-        base_seed = int(self.rng.integers(0, 2**62))
+        # Same (seed, epoch)-derived scheme as the Python path so the native
+        # loader is reproducible per epoch too.
+        base_seed = int(
+            np.random.default_rng(
+                np.random.SeedSequence((self.seed, self.epoch - 1, 0xC0FFEE))
+            ).integers(0, 2**62)
+        )
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def decode_and_augment(i: int):
@@ -118,7 +161,7 @@ class NativePrefetchLoader(PrefetchLoader):
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for b in range(nb):
-                        idxs = [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+                        idxs = [int(i) for i in self._batch_indices(order, b)]
                         q.put(_collate(list(pool.map(decode_and_augment, idxs))))
             except BaseException as e:
                 q.put(e)

@@ -231,8 +231,30 @@ class WIDERFace:
         self.templates = templates
         self.dataset_root = Path(dataset_root)
         self.samples = parse_wider_annotations(path, split)
+        self.seed = seed
+        self.epoch = 0
+        # Shuffle-only generator for iter_batches (single-threaded use).
         self.rng = np.random.default_rng(seed)
         self.debug = debug
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream: per-sample generators are derived
+        from (seed, epoch, index), so each epoch draws fresh augmentations
+        while any (seed, epoch) pair is exactly reproducible."""
+        self.epoch = int(epoch)
+
+    def sample_rng(self, idx: int) -> np.random.Generator:
+        """Thread-safe per-sample generator (SURVEY §7 PRNG discipline).
+
+        np.random.Generator is NOT thread-safe; a shared generator mutated
+        from PrefetchLoader's worker pool gives nondeterministic, correlated
+        draws. Deriving a fresh generator from SeedSequence((seed, epoch,
+        idx)) makes every sample's augmentation an independent pure function
+        of those three ints — the same scheme the C++ engine uses
+        (native/tinyfaces_native.cpp per-sample seeds)."""
+        return np.random.default_rng(
+            np.random.SeedSequence((self.seed, self.epoch, idx))
+        )
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -263,7 +285,7 @@ class WIDERFace:
         if self.split == "train":
             img = self._decode(idx)
             canvas, gt, gt_valid, paste_box, flip = augment_sample(
-                img, sample.bboxes.copy(), self.cfg, self.rng
+                img, sample.bboxes.copy(), self.cfg, self.sample_rng(idx)
             )
             return {
                 "image": canvas,

@@ -264,9 +264,15 @@ class Trainer:
         from tinyfaces_tpu.utils.profiling import StepTimer
 
         loader_cls = NativePrefetchLoader if native.is_available() else PrefetchLoader
+        # Multi-host SPMD: every process computes the same (seed, epoch)
+        # shuffle, decodes only its row slice of each global batch, and
+        # host_local_batch assembles the global sharded array (no cross-host
+        # input movement). Single-host: world == 1 and this is the plain path.
+        world = jax.process_count()
         loader = loader_cls(
             dataset, self.tc.batch_size, workers=self.tc.workers,
-            shuffle=True, seed=self.seed + epoch,
+            shuffle=True, seed=self.seed, epoch=epoch,
+            rank=jax.process_index(), world=world,
         )
         timer = StepTimer(warmup=1)
         n_batches = len(loader)
@@ -283,7 +289,12 @@ class Trainer:
             pending.clear()
 
         for idx, host_batch in enumerate(loader):
-            batch = shard_batch(host_batch, self.mesh)
+            if world > 1:
+                from tinyfaces_tpu.parallel.distributed import host_local_batch
+
+                batch = host_local_batch(host_batch, self.mesh)
+            else:
+                batch = shard_batch(host_batch, self.mesh)
             state, lb = self.step_fn(state, batch, self.key)
             pending.append((idx, host_batch["image"].shape[0], lb))
             timer.tick(items=host_batch["image"].shape[0])
