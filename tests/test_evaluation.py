@@ -45,6 +45,26 @@ def test_high_threshold_gives_no_dets(detector):
     assert dets.shape[0] == 0
 
 
+def test_degenerate_image_shapes_do_not_crash(detector):
+    """Regression: _round_up used to raise ValueError (negative shift) for
+    dims 2-4, killing detect() on degenerate inputs. Tiny dims must bucket
+    to 64 and extreme aspect ratios must still return (N, 5)."""
+    from tinyfaces_tpu.evaluation import _round_up
+
+    assert [_round_up(x) for x in (1, 2, 3, 4, 5, 63, 64, 65)] == [
+        64, 64, 64, 64, 64, 64, 64, 128]
+    assert _round_up(2000) == 2048
+
+    rng = np.random.default_rng(3)
+    tiny = rng.integers(0, 255, (3, 5, 3), dtype=np.uint8)
+    dets = detector.detect(tiny, prob_thresh=0.5, scales=(0,))
+    assert dets.ndim == 2 and dets.shape[1] == 5
+
+    skinny = rng.integers(0, 255, (500, 16, 3), dtype=np.uint8)
+    dets = detector.detect(skinny, prob_thresh=0.5, scales=(-2, 0))
+    assert dets.ndim == 2 and dets.shape[1] == 5
+
+
 def test_write_results_format(tmp_path):
     dets = np.array(
         [

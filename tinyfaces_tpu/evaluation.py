@@ -16,7 +16,7 @@ Capability parity with tinyfaces/evaluation.py:12-114:
     (evaluation.py:103-114).
 
 TPU-first: every pyramid level runs as one compiled program on a padded
-static shape (dims bucketed to BUCKET px so the jit cache stays small);
+static shape (dims bucketed adaptively so the jit cache stays small);
 sigmoid/threshold/top-K decode and the cross-scale NMS all run on device;
 only the final (N, 5) array crosses back to the host.
 """
@@ -42,9 +42,6 @@ try:
     from PIL import Image
 except ImportError:  # pragma: no cover
     Image = None
-
-BUCKET = 128  # pad each spatial dim up to a multiple of this before jit
-
 
 def get_model(
     checkpoint: Optional[str | Path] = None,
@@ -89,11 +86,12 @@ def _round_up_mult(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _round_up(x: int, m: int = BUCKET) -> int:
+def _round_up(x: int) -> int:
     """Adaptive shape bucketing: finer buckets for small dims, coarser for
     large ones, so the number of distinct compiled programs stays bounded
-    while padding waste stays ~<25%."""
-    m = max(64, min(512, 1 << max(x - 1, 1).bit_length() - 3))  # ~ dim/4..dim/8
+    while padding waste stays ~<25%. Tiny dims (incl. 1 px) clamp to a
+    64-px bucket instead of under/overflowing the shift."""
+    m = max(64, min(512, 1 << max(max(x - 1, 1).bit_length() - 3, 0)))
     return ((x + m - 1) // m) * m
 
 
@@ -177,14 +175,16 @@ class PyramidDetector:
                 f = 2.0**s
                 thp = _round_up_mult(int(round(h0p * f)), 32)
                 twp = _round_up_mult(int(round(w0p * f)), 32)
-                # Reference sizing (evaluation.py:42-47): shorter side ->
-                # int(min_side * f), longer side aspect-preserved (rounded).
+                # Reference sizing (evaluation.py:42-47 + torchvision
+                # F.resize(int)): shorter side -> int(min_side * f), longer
+                # side int(size * long / short) — truncation, matching the
+                # host-resize path exactly.
                 tshort = jnp.floor(min0 * f)
                 th_v = jnp.where(
-                    h0 <= w0, tshort, jnp.round(h0.astype(jnp.float32) * tshort / w0)
+                    h0 <= w0, tshort, jnp.floor(h0.astype(jnp.float32) * tshort / w0)
                 ).astype(jnp.int32)
                 tw_v = jnp.where(
-                    h0 <= w0, jnp.round(w0.astype(jnp.float32) * tshort / h0), tshort
+                    h0 <= w0, jnp.floor(w0.astype(jnp.float32) * tshort / h0), tshort
                 ).astype(jnp.int32)
                 th_v = jnp.clip(th_v, 1, thp)
                 tw_v = jnp.clip(tw_v, 1, twp)
@@ -349,18 +349,21 @@ class PyramidDetector:
         all_boxes, all_scores, all_valid = [], [], []
         for s in scales:
             factor = 2.0**s
-            target_short = int(min_side * factor)
-            if h <= w:
-                th, tw = target_short, max(1, int(round(w * target_short / h)))
+            target_short = max(1, int(min_side * factor))
+            # torchvision F.resize(int) sizing: shorter side := size, longer
+            # side := int(size * long / short) — truncation, not rounding
+            # (reference evaluation.py:46-47).
+            if w < h:
+                tw, th = target_short, max(1, int(target_short * h / w))
             else:
-                tw, th = target_short, max(1, int(round(h * target_short / w)))
+                th, tw = target_short, max(1, int(target_short * w / h))
             resized = self._resize(image, (th, tw))
 
             # Pad up to the bucketed static shape with the ImageNet mean pixel
             # (~zero after normalization, i.e. what conv zero-padding would
             # see in normalized space) so border scores stay close to the
             # unpadded reference behavior.
-            ph, pw = _round_up(th, BUCKET), _round_up(tw, BUCKET)
+            ph, pw = _round_up(th), _round_up(tw)
             padded = np.empty((ph, pw, 3), np.uint8)
             padded[:] = MEAN_PIXEL
             padded[:th, :tw] = resized
