@@ -35,12 +35,17 @@ def arguments(argv=None):
 
 
 def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
-        debug=False, eval_batch=8, host_resize=False):
-    """Evaluate the split. Default path groups images that share a padded
-    bucket shape into fixed-size device batches (one compiled program per
-    bucket) and pipelines them; `host_resize` falls back to the per-image
-    PIL-resample path (reference-identical resampling)."""
-    from collections import defaultdict
+        debug=False, eval_batch=8, host_resize=False, workers=8,
+        inflight=3):
+    """Evaluate the split with a three-stage pipeline: worker threads decode
+    JPEGs (the reference's DataLoader(num_workers=8) equivalent,
+    evaluate_model.py:34-44), the main thread groups images sharing a padded
+    bucket shape into fixed-size device batches, and up to `inflight`
+    batches ride the device queue concurrently (detect_batch_async) so host
+    decode + padding + H2D overlap device compute. `host_resize` falls back
+    to the per-image PIL-resample path (reference-identical resampling)."""
+    from collections import defaultdict, deque
+    from concurrent.futures import ThreadPoolExecutor
 
     from tinyfaces_tpu.evaluation import _round_up
 
@@ -62,6 +67,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         return dets
 
     groups: dict = defaultdict(list)
+    pending: deque = deque()
 
     # HBM guard: the 2x pyramid level dominates activation memory, so cap the
     # per-bucket batch by a pixel budget (eval_batch at the 768x1024-class
@@ -71,14 +77,10 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     def bucket_batch(bucket) -> int:
         return max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
 
-    def flush(bucket):
+    def settle(entry):
         nonlocal done, dets
-        items = groups.pop(bucket)
-        imgs = [im for im, _ in items]
-        # pad the group to the bucket's fixed batch size (stable compile
-        # shapes); surplus outputs are discarded
-        imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
-        results = detector.detect_batch(imgs, prob_thresh, nms_thresh)
+        items, async_result = entry
+        results = detector._fetch(async_result)
         for (im, img_path), d in zip(items, results):
             write_results(d, img_path, split, results_dir)
             dets = d
@@ -86,15 +88,39 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             if done % 25 == 0 or done == n:
                 print(f"[{done}/{n}] {img_path}: {d.shape[0]} detections")
 
+    def flush(bucket):
+        items = groups.pop(bucket)
+        imgs = [im for im, _ in items]
+        # pad the group to the bucket's fixed batch size (stable compile
+        # shapes); surplus outputs are discarded
+        imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
+        pending.append(
+            (items, detector.detect_batch_async(imgs, prob_thresh, nms_thresh))
+        )
+        while len(pending) > inflight:
+            settle(pending.popleft())
+
     limit = 5 if debug else n
-    for i in range(limit):
-        image, img_path = dataset[i]
-        bucket = (_round_up(image.shape[0]), _round_up(image.shape[1]))
-        groups[bucket].append((image, img_path))
-        if len(groups[bucket]) >= bucket_batch(bucket):
+    # Decode ahead in worker threads (PIL JPEG decode drops the GIL) through
+    # a bounded sliding window of futures — ThreadPoolExecutor.map would
+    # submit the whole split at once and buffer gigabytes of decoded pixels.
+    window = max(2, workers) * 3
+    with ThreadPoolExecutor(max(1, workers)) as pool:
+        futs: deque = deque()
+        nxt = 0
+        while futs or nxt < limit:
+            while nxt < limit and len(futs) < window:
+                futs.append(pool.submit(dataset.__getitem__, nxt))
+                nxt += 1
+            image, img_path = futs.popleft().result()
+            bucket = (_round_up(image.shape[0]), _round_up(image.shape[1]))
+            groups[bucket].append((image, img_path))
+            if len(groups[bucket]) >= bucket_batch(bucket):
+                flush(bucket)
+        for bucket in list(groups):
             flush(bucket)
-    for bucket in list(groups):
-        flush(bucket)
+        while pending:
+            settle(pending.popleft())
     return dets
 
 
@@ -123,6 +149,7 @@ def main():
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,
         eval_batch=args.eval_batch, host_resize=args.host_resize,
+        workers=args.workers,
     )
 
 

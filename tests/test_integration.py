@@ -172,6 +172,44 @@ def test_evaluate_model_run_batched(wider_tree, tmp_path):
     assert len(files) == len(val)
 
 
+def test_pipelined_eval_matches_serial(wider_tree, tmp_path):
+    """The async pipelined sweep (threaded decode + inflight device batches)
+    must write byte-identical detections to the serial per-image path."""
+    import evaluate_model
+    from tinyfaces_tpu.evaluation import PyramidDetector
+
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (128, 128))
+    det = PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats}, templates,
+        cfg=DetectorConfig(),
+        ec=EvalConfig(scales=(0,), max_dets_per_scale=50, max_total_dets=50),
+    )
+    val = WIDERFace(
+        wider_tree / "wider_face_split" / "val.txt", templates,
+        dataset_root=wider_tree, split="val",
+    )
+    serial_dir = tmp_path / "serial"
+    piped_dir = tmp_path / "piped"
+    evaluate_model.run(det, val, prob_thresh=0.2, nms_thresh=0.3, split="val",
+                       results_dir=serial_dir, eval_batch=1)
+    evaluate_model.run(det, val, prob_thresh=0.2, nms_thresh=0.3, split="val",
+                       results_dir=piped_dir, eval_batch=4, workers=4,
+                       inflight=3)
+    serial_files = sorted(serial_dir.glob("*/*.txt"))
+    piped_files = sorted(piped_dir.glob("*/*.txt"))
+    assert [f.name for f in serial_files] == [f.name for f in piped_files]
+    for a, b in zip(serial_files, piped_files):
+        # identical detection ROWS; tiny fp differences allowed in scores
+        la, lb = a.read_text().splitlines(), b.read_text().splitlines()
+        assert la[:2] == lb[:2]
+        for ra, rb in zip(la[2:], lb[2:]):
+            fa, fb = ra.split(), rb.split()
+            assert fa[:4] == fb[:4]
+            assert abs(float(fa[4]) - float(fb[4])) < 1e-3
+
+
 @pytest.mark.slow
 def test_overfit_yields_real_detection_quality(tmp_path):
     """Learning-quality end-to-end: overfit the tiny backbone on 8 synthetic
