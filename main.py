@@ -48,6 +48,13 @@ def arguments(argv=None):
                         help="console cadence; >1 unblocks device pipelining")
     parser.add_argument("--metrics-log", default="",
                         help="append structured JSONL training metrics here")
+    # Multi-host SPMD (reference is single-device, main.py:60-64; these
+    # launch one process per host — see tinyfaces_tpu/parallel/distributed.py)
+    parser.add_argument("--coordinator-address", default="",
+                        help="host:port of process 0 for jax.distributed")
+    parser.add_argument("--num-processes", default=0, type=int,
+                        help="total train processes (0 = single-host)")
+    parser.add_argument("--process-id", default=0, type=int)
 
     return parser.parse_args(argv)
 
@@ -58,6 +65,17 @@ def main():
     enable_compilation_cache()
 
     args = arguments()
+
+    if args.num_processes > 1 or args.coordinator_address:
+        # Must run before any other jax call so every process sees the
+        # global device set.
+        from tinyfaces_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id,
+        )
 
     num_templates = 25  # aka the number of clusters
 
@@ -147,11 +165,13 @@ def main():
                 state, train_dataset, epoch, log_every=args.log_every
             )
         if (epoch + 1) % args.save_every == 0 or stop_requested["flag"]:
-            save_checkpoint(
-                state, epoch + 1, tc.batch_size,
-                save_path=weights_dir,
-                filename=f"checkpoint_{epoch + 1}",
-            )
+            # State is fully replicated; one writer (process 0) suffices.
+            if jax.process_index() == 0:
+                save_checkpoint(
+                    state, epoch + 1, tc.batch_size,
+                    save_path=weights_dir,
+                    filename=f"checkpoint_{epoch + 1}",
+                )
         if stop_requested["flag"]:
             break
 

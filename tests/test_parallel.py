@@ -52,3 +52,156 @@ def test_sharded_computation_reduces_over_mesh():
         return jnp.sum(x)
 
     assert float(f(x)) == 64.0
+
+
+def test_loader_rank_world_slices_partition_global_batch():
+    """Multi-host input feeding: the four rank slices of each global batch
+    concatenate to exactly the single-host batch, in order."""
+    from tinyfaces_tpu.data.loader import PrefetchLoader
+
+    class Ds:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"v": np.full((2,), i, np.int64)}
+
+    full = list(PrefetchLoader(Ds(), 8, workers=2, shuffle=True, seed=3))
+    parts = [
+        list(PrefetchLoader(Ds(), 8, workers=2, shuffle=True, seed=3,
+                            rank=r, world=4))
+        for r in range(4)
+    ]
+    for b in range(len(full)):
+        got = np.concatenate([parts[r][b]["v"] for r in range(4)])
+        np.testing.assert_array_equal(got, full[b]["v"])
+
+
+def test_train_step_1dev_vs_8dev_identical():
+    """Data-parallel invariance + BN-stat globalization pin (parallel/
+    mesh.py:9-12): one train step over the same global batch must produce
+    the same params AND the same BatchNorm batch_stats on a 1-device mesh
+    and an 8-device mesh — XLA globalizes the BN batch statistics over the
+    data axis, it does not compute per-shard stats."""
+    from tinyfaces_tpu.config import DetectorConfig, TrainConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+    from tinyfaces_tpu.trainer import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = DetectorConfig(input_size=(128, 128), heatmap_size=(16, 16), max_gt=8)
+    tc = TrainConfig(batch_size=8)
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=(1, 1, 1))
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     input_size=cfg.input_size)
+    # the jitted step donates its input state — keep host copies to reuse
+    params = jax.device_get(params)
+    batch_stats = jax.device_get(batch_stats)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": rng.integers(0, 255, (8, 128, 128, 3), dtype=np.uint8),
+        "gt_boxes": np.tile(np.array([[20.0, 20, 60, 70]], np.float32), (8, cfg.max_gt, 1)),
+        "gt_valid": np.tile(np.arange(cfg.max_gt) < 1, (8, 1)),
+        "paste_box": np.tile(np.array([0, 0, 128, 128], np.float32), (8, 1)),
+        "flip": np.zeros(8, bool),
+    }
+
+    results = {}
+    for ndev in (1, 8):
+        tx = make_optimizer(tc, steps_per_epoch=10)
+        state = create_train_state(model, params, batch_stats, tx)
+        mesh = make_mesh(jax.devices()[:ndev])
+        state = replicate_tree(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        step_fn = make_train_step(model, tx, cfg, templates)
+        state2, lb = step_fn(state, sharded, jax.random.PRNGKey(7))
+        results[ndev] = (
+            jax.device_get(state2.params),
+            jax.device_get(state2.batch_stats),
+            float(lb.total),
+        )
+
+    p1, bs1, l1 = results[1]
+    p8, bs8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    # atol 5e-5: the 8-way gradient psum reassociates fp32 sums
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5), p1, p8
+    )
+    # the BN running stats are the strongest signal: per-shard statistics
+    # would differ wildly from global ones on an 8-way split of batch 8
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4), bs1, bs8
+    )
+
+
+def test_two_process_distributed_cpu():
+    """Real 2-process jax.distributed run over loopback: both processes must
+    initialize, build the 8-device global mesh, feed their local batch
+    halves, and converge to identical replicated parameters that match the
+    single-process oracle of the same global computation."""
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    # pick a free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+
+    worker = Path(__file__).parent / "distributed_worker.py"
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(Path(__file__).parent.parent),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    vals = {}
+    for out in outs:
+        m = re.search(r"RESULT pid=(\d) wsum=([-\d.]+) loss=([-\d.]+)", out)
+        assert m, out[-2000:]
+        vals[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(vals) == {0, 1}
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-9)
+
+    # single-process oracle of the same global computation
+    xs = np.arange(32, dtype=np.float32).reshape(8, 4) / 10.0
+    ys = np.arange(8, dtype=np.float32)[:, None] / 5.0
+    w = np.ones((4, 1), np.float32) * 0.5
+    for _ in range(2):
+        g = 2.0 * xs.T @ (xs @ w - ys) / 8.0
+        loss = float(np.mean((xs @ w - ys) ** 2))
+        w = w - 0.01 * g
+    np.testing.assert_allclose(vals[0][0], float(w.sum()), rtol=1e-5)
+    np.testing.assert_allclose(vals[0][1], loss, rtol=1e-5)
