@@ -41,3 +41,21 @@ unit-test:
 
 bench:
 	$(PYTHON) bench.py
+
+bench-train:
+	$(PYTHON) bench_train.py
+
+# Published-mAP runbook: convert -> evaluate (+fused/host-resize A/B) ->
+# wider_eval -> pass/fail JSON vs 0.902/0.892/0.797. With real data:
+#   make parity-run ROOT=/data/WIDER CHECKPOINT=/data/checkpoint_50.pth \
+#                   EVAL_TOOLS=/data/eval_tools
+EVAL_TOOLS=
+parity-run:
+	$(PYTHON) tools/parity_run.py --dataset-root $(ROOT) \
+	  --checkpoint $(CHECKPOINT) \
+	  $(if $(EVAL_TOOLS),--eval-tools-dir $(EVAL_TOOLS),)
+
+# Rehearse the full runbook today on a synthetic tree (no data/weights).
+parity-run-smoke:
+	$(PYTHON) tools/parity_run.py --dataset-root /tmp/parity_smoke \
+	  --synthetic 12 --ab-images 3

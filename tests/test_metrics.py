@@ -52,3 +52,42 @@ def test_average_precision_duplicate_is_fp():
     ap, prec, rec = average_precision(conf, dets, ["a", "a"], recs, npos)
     assert rec[-1] == 1.0
     np.testing.assert_allclose(prec, [1.0, 0.5])
+
+
+def test_compute_model_score_json_roundtrip(tmp_path):
+    """compute_model_score (reference metrics.py:164-205 parity surface):
+    GT JSON list + predictions JSONL -> AP. Perfect detections give AP 1.0;
+    adding an unmatched high-confidence box drops precision."""
+    import json
+
+    from tinyfaces_tpu.metrics import compute_model_score
+
+    gt = [
+        {"image": {"id": "img0"},
+         "bboxes": [{"category_id": 3, "bbox": [10, 10, 20, 20]},
+                    {"category_id": 1, "bbox": [50, 50, 10, 10]}]},
+        {"image": {"id": "img1"},
+         "bboxes": [{"category_id": 3, "bbox": [5, 5, 10, 10]}]},
+    ]
+    gt_file = tmp_path / "gt.json"
+    gt_file.write_text(json.dumps(gt))
+
+    pred_file = tmp_path / "pred.jsonl"
+    pred_file.write_text(
+        json.dumps({"id": "img0", "confidences": [0.9],
+                    "bboxes": [[10, 10, 29, 29]]}) + "\n"
+        + json.dumps({"id": "img1", "confidences": [0.8],
+                      "bboxes": [[5, 5, 14, 14]]}) + "\n"
+    )
+    ap, prec, rec = compute_model_score(str(pred_file), str(gt_file), class_id=3)
+    assert ap == 1.0 and rec[-1] == 1.0
+
+    # one spurious detection on an empty region -> FP
+    pred_file.write_text(
+        json.dumps({"id": "img0", "confidences": [0.95, 0.9],
+                    "bboxes": [[200, 200, 220, 220], [10, 10, 29, 29]]}) + "\n"
+        + json.dumps({"id": "img1", "confidences": [0.8],
+                      "bboxes": [[5, 5, 14, 14]]}) + "\n"
+    )
+    ap2, prec2, rec2 = compute_model_score(str(pred_file), str(gt_file), class_id=3)
+    assert ap2 < 1.0 and rec2[-1] == 1.0

@@ -1,0 +1,220 @@
+"""Turnkey published-mAP parity runbook (VERDICT round 1, item 8).
+
+Given mounted WIDER val data and the reference's released torch checkpoint
+(checkpoint_50.pth, README.md:37), this runs the WHOLE proof chain with no
+manual steps:
+
+  1. convert the .pth (tools/convert_torch_checkpoint.py — numerically
+     pinned by tests/test_convert.py) — any format load_weights accepts;
+  2. evaluate the val split with the fused pyramid (evaluate_model.run),
+     optionally A/B'ing the first --ab-images images against the
+     PIL-host-resize path (reference-identical resampling) and reporting
+     the max box/score deltas;
+  3. score the result tree with wider_eval (official .mat splits when
+     --eval-tools-dir is given, else height-band approximations);
+  4. write a scores JSON with explicit pass/fail vs the published bars
+     easy 0.902 / medium 0.892 / hard 0.797 (reference README.md:11-15).
+     Pass/fail is only judged on official splits; approximate splits are
+     marked not comparable.
+
+Smoke mode (--synthetic N) builds an N-image synthetic WIDER tree with a
+random checkpoint so the entire chain is rehearsed end-to-end in this
+environment today; real data later needs no edits:
+
+  make parity-run ROOT=/data/WIDER CHECKPOINT=/data/checkpoint_50.pth \
+                  EVAL_TOOLS=/data/eval_tools
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+PUBLISHED = {"easy": 0.902, "medium": 0.892, "hard": 0.797}
+
+
+def build_synthetic_tree(root: Path, n: int, seed: int = 0):
+    """N-image val tree with WIDER-format annotations (white-box 'faces')."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    d = root / "WIDER_val" / "images" / "0--Synthetic"
+    d.mkdir(parents=True, exist_ok=True)
+    ann = []
+    for i in range(n):
+        h, w = int(rng.integers(300, 700)), int(rng.integers(400, 900))
+        img = rng.integers(0, 180, (h, w, 3), dtype=np.uint8)
+        k = int(rng.integers(1, 4))
+        rows = []
+        for _ in range(k):
+            bw, bh = int(rng.integers(24, 80)), int(rng.integers(24, 80))
+            x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
+            img[y : y + bh, x : x + bw] = 255
+            rows.append(f"{x} {y} {bw} {bh} 0 0 0 0 0 0")
+        Image.fromarray(img).save(d / f"im{i}.jpg", quality=92)
+        ann += [f"0--Synthetic/im{i}.jpg", str(k)] + rows
+    gt = root / "wider_face_split" / "wider_face_val_bbx_gt.txt"
+    gt.parent.mkdir(parents=True, exist_ok=True)
+    gt.write_text("\n".join(ann) + "\n")
+    return gt
+
+
+def ab_check(detector, dataset, n_images: int, prob_thresh: float,
+             nms_thresh: float) -> dict:
+    """Fused vs host-resize A/B on the first n_images; returns delta stats."""
+    worst = {"count_mismatch": 0, "max_center_delta_px": 0.0,
+             "max_score_delta": 0.0, "images": 0}
+    for i in range(min(n_images, len(dataset))):
+        image, _ = dataset[i]
+        fused = detector.detect(image, prob_thresh, nms_thresh)
+        hostr = detector.detect(image, prob_thresh, nms_thresh,
+                                host_resize=True)
+        worst["images"] += 1
+        if fused.shape[0] != hostr.shape[0]:
+            worst["count_mismatch"] += 1
+            continue
+        if fused.shape[0] == 0:
+            continue
+        ca = np.stack([(fused[:, 0] + fused[:, 2]) / 2,
+                       (fused[:, 1] + fused[:, 3]) / 2], 1)
+        cb = np.stack([(hostr[:, 0] + hostr[:, 2]) / 2,
+                       (hostr[:, 1] + hostr[:, 3]) / 2], 1)
+        # match by nearest center
+        d = np.linalg.norm(ca[:, None] - cb[None, :], axis=2)
+        j = d.argmin(axis=1)
+        worst["max_center_delta_px"] = max(
+            worst["max_center_delta_px"], float(d[np.arange(len(j)), j].max())
+        )
+        worst["max_score_delta"] = max(
+            worst["max_score_delta"],
+            float(np.abs(fused[:, 4] - hostr[j, 4]).max()),
+        )
+    return worst
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("published-mAP parity runbook")
+    parser.add_argument("--dataset-root", default="data/WIDER")
+    parser.add_argument("--valdata", default="",
+                        help="default <root>/wider_face_split/wider_face_val_bbx_gt.txt")
+    parser.add_argument("--checkpoint", default="",
+                        help="reference checkpoint_50.pth / orbax dir / npz")
+    parser.add_argument("--eval-tools-dir", default="",
+                        help="official eval_tools/ for exact splits")
+    parser.add_argument("--out", default="parity_scores.json")
+    parser.add_argument("--ab-images", type=int, default=8,
+                        help="images to A/B fused vs host-resize (0 = skip)")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="smoke mode: build an N-image synthetic tree")
+    parser.add_argument("--prob_thresh", type=float, default=0.03)
+    parser.add_argument("--nms_thresh", type=float, default=0.3)
+    args = parser.parse_args(argv)
+
+    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import evaluate_model
+    import wider_eval
+    from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.data.wider_face import WIDERFace
+    from tinyfaces_tpu.evaluation import PyramidDetector, get_model
+
+    root = Path(args.dataset_root)
+    if args.synthetic:
+        print(f"[parity-run] smoke mode: {args.synthetic}-image synthetic tree")
+        valdata = build_synthetic_tree(root, args.synthetic)
+    else:
+        valdata = Path(
+            args.valdata
+            or root / "wider_face_split" / "wider_face_val_bbx_gt.txt"
+        )
+        if not valdata.exists():
+            sys.exit(f"[parity-run] no val annotations at {valdata} — mount "
+                     f"WIDER under {root} or pass --valdata/--synthetic")
+
+    templates = load_templates()
+    cfg = DetectorConfig()
+    print(f"[parity-run] 1/4 loading checkpoint "
+          f"{args.checkpoint or '(random init — smoke only)'}")
+    model, variables = get_model(args.checkpoint or None,
+                                 num_templates=templates.shape[0])
+    detector = PyramidDetector(model, variables, templates, cfg=cfg,
+                               ec=EvalConfig())
+
+    dataset = WIDERFace(valdata, templates, cfg=cfg, dataset_root=root,
+                        split="val")
+    results_dir = Path("parity_val_results")
+
+    ab = None
+    if args.ab_images:
+        print(f"[parity-run] 2/4 fused-vs-host-resize A/B on "
+              f"{args.ab_images} images")
+        ab = ab_check(detector, dataset, args.ab_images,
+                      args.prob_thresh, args.nms_thresh)
+        print(f"[parity-run]    {ab}")
+
+    print(f"[parity-run] 3/4 evaluating {len(dataset)} val images")
+    t0 = time.time()
+    evaluate_model.run(detector, dataset, args.prob_thresh, args.nms_thresh,
+                       "val", results_dir=results_dir)
+    rate = len(dataset) / (time.time() - t0)
+    print(f"[parity-run]    {rate:.2f} img/s")
+
+    print("[parity-run] 4/4 scoring")
+    results = wider_eval.read_results_dir(results_dir)
+    if args.eval_tools_dir:
+        gt, keeps = wider_eval.gt_from_mats(Path(args.eval_tools_dir))
+        official = True
+    else:
+        gt, keeps = wider_eval.gt_from_txt(valdata)
+        official = False
+        print("[parity-run] NOTE: approximate height-band splits — NOT "
+              "comparable to the published bars; pass --eval-tools-dir "
+              "for the official protocol.")
+
+    scores = {}
+    for name, keep in keeps.items():
+        scores[name] = wider_eval.dataset_eval(results, gt, keep)
+        print(f"[parity-run] AP({name}) = {scores[name]:.4f}")
+
+    verdict = {}
+    if official:
+        for split, bar in PUBLISHED.items():
+            got = scores.get(split)
+            verdict[split] = {
+                "ap": got, "published": bar,
+                "pass": bool(got is not None and got >= bar - 0.005),
+            }
+        ok = all(v["pass"] for v in verdict.values())
+        print(f"[parity-run] VERDICT: {'PASS' if ok else 'FAIL'} vs "
+              f"published 0.902/0.892/0.797")
+    payload = {
+        "scores": scores,
+        "official_splits": official,
+        "approximate_splits": not official,
+        "published_bars": PUBLISHED,
+        "verdict": verdict or None,
+        "ab_check": ab,
+        "images_per_sec": round(rate, 2),
+        "checkpoint": str(args.checkpoint),
+        "synthetic_smoke": bool(args.synthetic),
+    }
+    Path(args.out).write_text(json.dumps(payload, indent=1))
+    print(f"[parity-run] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
+
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()

@@ -199,7 +199,15 @@ def main():
         print(f"AP ({name}): {scores[name]:.4f}")
 
     if args.out:
-        json.dump(scores, open(args.out, "w"), indent=1)
+        # Explicit marker: height-band splits are NOT comparable to the
+        # published 0.902/0.892/0.797 official-split numbers.
+        payload = {
+            "scores": scores,
+            "approximate_splits": not bool(args.eval_tools_dir),
+            "protocol": "official-mat" if args.eval_tools_dir
+            else "height-band-approximation",
+        }
+        json.dump(payload, open(args.out, "w"), indent=1)
 
 
 if __name__ == "__main__":
