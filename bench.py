@@ -40,8 +40,14 @@ def main():
 
     templates = load_templates()
     model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
+    # Wire format: planar YCbCr 4:2:0 (the format JPEG sources already carry)
+    # — 1.5 B/px instead of 3, colorspace conversion fused on device. The
+    # shared remote link's bandwidth, not compute, bounds e2e throughput
+    # (docs/PERF.md); BENCH_TRANSFER=rgb measures the bit-exact RGB path.
+    transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
     detector = PyramidDetector(
-        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig()
+        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig(),
+        transfer=transfer,
     )
 
     rng = np.random.default_rng(0)

@@ -30,6 +30,9 @@ def arguments(argv=None):
                         help="device batch per bucket (1 = per-image)")
     parser.add_argument("--host-resize", action="store_true",
                         help="PIL per-scale resize (reference resampling)")
+    parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
+                        help="fused-path wire format; yuv420 halves H2D bytes"
+                             " (JPEG-native chroma subsampling)")
 
     return parser.parse_args(argv)
 
@@ -144,7 +147,8 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
-    detector = PyramidDetector(model, variables, templates, cfg=cfg, ec=EvalConfig())
+    detector = PyramidDetector(model, variables, templates, cfg=cfg,
+                               ec=EvalConfig(), transfer=args.transfer)
     run(
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,

@@ -111,3 +111,42 @@ def test_build_targets_batch():
     assert set(np.unique(np.asarray(cls_maps))) <= {-1.0, 0.0, 1.0}
     # each sample has at least the forced-positive anchor for its GT
     assert (np.asarray(cls_maps) == 1).reshape(b, -1).sum(1).min() >= 1
+
+
+def test_yuv420_roundtrip_matches_normalize():
+    """rgb_to_yuv420 -> yuv420_to_normalized vs normalize_images: exact-ish
+    for gray images (chroma-neutral), small bounded error on smooth images
+    (the 4:2:0 chroma loss a JPEG source already has)."""
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.data.targets import (
+        normalize_images,
+        rgb_to_yuv420,
+        yuv420_to_normalized,
+    )
+
+    # gray ramp: U=V=128 everywhere, so only the Y path matters
+    g = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (64, 1, 3))[None]
+    want = np.asarray(normalize_images(jnp.asarray(g)))
+    got = np.asarray(yuv420_to_normalized(*map(jnp.asarray, rgb_to_yuv420(g))))
+    assert np.abs(got - want).max() < 2.5 / 255 / 0.22  # ~1-2 LSB / min std
+
+    # smooth color gradients
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.stack([yy * 2, xx * 2, (yy + xx)], -1).astype(np.uint8)[None]
+    want = np.asarray(normalize_images(jnp.asarray(img)))
+    got = np.asarray(yuv420_to_normalized(*map(jnp.asarray, rgb_to_yuv420(img))))
+    err = np.abs(got - want)
+    assert err.mean() < 0.035 and err.max() < 0.15, (err.mean(), err.max())
+
+
+def test_yuv420_plane_shapes_and_dtype():
+    from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 64, 96, 3), dtype=np.uint8)
+    y, u, v = rgb_to_yuv420(img)
+    assert y.shape == (2, 64, 96) and u.shape == v.shape == (2, 32, 48)
+    assert y.dtype == u.dtype == v.dtype == np.uint8
+    # total wire bytes exactly halved
+    assert y.nbytes + u.nbytes + v.nbytes == img.nbytes // 2

@@ -25,6 +25,55 @@ def normalize_images(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def rgb_to_yuv420(images_u8) -> tuple:
+    """Host-side pack: (B, H, W, 3) uint8 RGB -> planar JPEG-style YCbCr
+    4:2:0 — (B, H, W) Y, (B, H/2, W/2) U, V, all uint8. H and W must be
+    even (shape buckets are multiples of 64).
+
+    This is the TPU-native input wire format: JPEG already stores YCbCr
+    with subsampled chroma, so shipping Y + quarter-size U/V (1.5 B/px
+    instead of 3) halves H2D bytes while the device performs the colorspace
+    conversion fused into the pyramid program (docs/PERF.md round-2: the
+    remote link, not compute, bounds e2e throughput). Uses PIL's C-speed
+    BT.601 full-range converter; chroma is 2x2 box-averaged.
+    """
+    import numpy as np
+    from PIL import Image
+
+    b, h, w, _ = images_u8.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    y = np.empty((b, h, w), np.uint8)
+    u = np.empty((b, h // 2, w // 2), np.uint8)
+    v = np.empty((b, h // 2, w // 2), np.uint8)
+    for i in range(b):
+        ycc = np.asarray(Image.fromarray(images_u8[i]).convert("YCbCr"))
+        y[i] = ycc[..., 0]
+        u[i] = (ycc[..., 1].reshape(h // 2, 2, w // 2, 2).mean((1, 3)) + 0.5).astype(np.uint8)
+        v[i] = (ycc[..., 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3)) + 0.5).astype(np.uint8)
+    return y, u, v
+
+
+def yuv420_to_normalized(y, u, v, dtype=jnp.float32) -> jnp.ndarray:
+    """Device-side unpack: planar 4:2:0 uint8 -> normalized float RGB
+    (B, H, W, 3), numerically equivalent to normalize_images(rgb) up to the
+    chroma subsampling loss (~<=2/255 per channel on natural images).
+
+    Inverse BT.601 full-range (JPEG/JFIF), nearest chroma upsample, clamped
+    to [0, 1] like an RGB decode would be, then ImageNet normalization —
+    all elementwise, fused by XLA into the consuming program.
+    """
+    yf = y.astype(dtype)
+    uf = jnp.repeat(jnp.repeat(u.astype(dtype), 2, axis=-2), 2, axis=-1) - 128.0
+    vf = jnp.repeat(jnp.repeat(v.astype(dtype), 2, axis=-2), 2, axis=-1) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    x = jnp.clip(jnp.stack([r, g, b], axis=-1) / 255.0, 0.0, 1.0)
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x - mean) / std
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def build_targets(
     batch: dict,

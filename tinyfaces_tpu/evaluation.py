@@ -110,11 +110,21 @@ class PyramidDetector:
         cfg: DetectorConfig | None = None,
         ec: EvalConfig | None = None,
         mesh=None,
+        transfer: str = "rgb",
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis — the fused
         pyramid batch shards over it (one group of images per chip; SURVEY.md
         §5's pyramid-across-chips scaling). Batch size must then be divisible
-        by the mesh size."""
+        by the mesh size.
+
+        `transfer`: wire format for the fused batch path. "rgb" uploads the
+        uint8 RGB canvas (3 B/px, bit-exact vs the reference input);
+        "yuv420" packs planar JPEG-style YCbCr with 2x2-subsampled chroma
+        (1.5 B/px) and converts to normalized RGB on device — halves H2D
+        bytes on bandwidth-starved links (docs/PERF.md round 2) at a
+        <=~2/255 chroma cost, matching what a JPEG source already lost."""
+        if transfer not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer mode {transfer!r}")
         self.model = model
         self.variables = variables
         self.templates = np.asarray(templates, np.float64)
@@ -122,6 +132,7 @@ class PyramidDetector:
         self.cfg = cfg or DetectorConfig()
         self.ec = ec or EvalConfig()
         self.mesh = mesh
+        self.transfer = transfer
         self._mask_cache: dict[float, np.ndarray] = {}
         self._stacked_masks: dict[tuple, jnp.ndarray] = {}
 
@@ -155,9 +166,10 @@ class PyramidDetector:
             static_argnames=("nms_thresh", "max_out"),
         )
 
-        def fused_pyramid(variables, templates_j, tmpl_masks, images_u8, h0, w0,
+        def fused_pyramid(variables, templates_j, tmpl_masks, images_in, h0, w0,
                           *, scales: tuple, h0p: int, w0p: int,
-                          prob_thresh: float, nms_thresh: float):
+                          prob_thresh: float, nms_thresh: float,
+                          transfer: str):
             """Whole pyramid in ONE program: device resize of the original to
             every scale, FCN forward per scale, decode, cross-scale NMS.
 
@@ -165,8 +177,18 @@ class PyramidDetector:
             high per-call latency of remote-attached TPUs, and so XLA can
             overlap the scales' compute.
             """
-            b = images_u8.shape[0]
-            x0 = normalize_images(images_u8)  # normalize commutes with resize
+            if transfer == "yuv420":
+                from tinyfaces_tpu.data.targets import yuv420_to_normalized
+
+                y, u, v = images_in
+                b = y.shape[0]
+                x0 = yuv420_to_normalized(y, u, v)
+            else:
+                b = images_in.shape[0]
+                x0 = normalize_images(images_in)  # normalize commutes w/ resize
+            # Resize in the model's compute dtype: halves the resize stage's
+            # HBM traffic for bf16 inference (the first conv casts anyway).
+            x0 = x0.astype(self.model.dtype)
             min0 = jnp.minimum(h0, w0).astype(jnp.float32)
             k = self.ec.max_dets_per_scale
 
@@ -230,7 +252,8 @@ class PyramidDetector:
 
         self._fused_pyramid = jax.jit(
             fused_pyramid,
-            static_argnames=("scales", "h0p", "w0p", "prob_thresh", "nms_thresh"),
+            static_argnames=("scales", "h0p", "w0p", "prob_thresh",
+                             "nms_thresh", "transfer"),
         )
 
     def _template_mask(self, scale: float) -> np.ndarray:
@@ -306,19 +329,28 @@ class PyramidDetector:
             self._stacked_masks[scales] = jnp.asarray(
                 np.stack([self._template_mask(2.0**s) for s in scales])
             )
-        batch_j = jnp.asarray(batch)
+        if self.transfer == "yuv420":
+            from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+            images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
+        else:
+            images_j = jnp.asarray(batch)
         hs_j = jnp.asarray(hs, jnp.int32)
         ws_j = jnp.asarray(ws, jnp.int32)
         if self.mesh is not None:
             from tinyfaces_tpu.parallel.mesh import batch_sharding
 
             sh = batch_sharding(self.mesh)
-            batch_j, hs_j, ws_j = (jax.device_put(a, sh) for a in (batch_j, hs_j, ws_j))
+            images_j = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sh), images_j
+            )
+            hs_j, ws_j = (jax.device_put(a, sh) for a in (hs_j, ws_j))
         return self._fused_pyramid(
             self.variables, self.templates_j, self._stacked_masks[scales],
-            batch_j, hs_j, ws_j,
+            images_j, hs_j, ws_j,
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
+            transfer=self.transfer,
         )
 
     @staticmethod
