@@ -283,9 +283,13 @@ class Trainer:
         pending: list = []
 
         def drain():
+            # Fetching the loss scalar blocks until the step has COMPLETED on
+            # device, so ticking here measures finished work — ticking at
+            # dispatch time would report the (async) enqueue rate.
             for pidx, bsz, plb in pending:
                 self.class_average.update(float(plb.class_loss), bsz)
                 self.reg_average.update(float(plb.reg_loss), bsz)
+                timer.tick(items=bsz * world)
             pending.clear()
 
         for idx, host_batch in enumerate(loader):
@@ -297,7 +301,6 @@ class Trainer:
                 batch = shard_batch(host_batch, self.mesh)
             state, lb = self.step_fn(state, batch, self.key)
             pending.append((idx, host_batch["image"].shape[0], lb))
-            timer.tick(items=host_batch["image"].shape[0])
             if idx % log_every == 0:
                 drain()
                 print_state(idx, epoch, n_batches,
