@@ -100,3 +100,50 @@ def test_kmedoids_k_exceeds_points():
     dist = np.zeros((3, 3))
     with _pytest.raises(ValueError):
         k_medoids(dist, 5, np.random.default_rng(0))
+
+
+def test_pam_backend_beats_or_matches_local():
+    """PAM (BUILD+SWAP, the pyclustering-equivalent backend) must reach a
+    total nearest-medoid cost <= the Voronoi-iteration local backend on a
+    clustered instance, and both must return valid medoid sets."""
+    from tinyfaces_tpu.clustering.cluster import compute_distances, pam
+
+    rng = np.random.default_rng(0)
+    # three separated shape clusters (centered boxes)
+    sizes = np.concatenate([
+        rng.normal(20, 1.5, (60, 2)),
+        rng.normal(60, 3.0, (60, 2)),
+        rng.normal(140, 6.0, (60, 2)),
+    ])
+    boxes = np.stack([-(sizes[:, 0] - 1) / 2, -(sizes[:, 1] - 1) / 2,
+                      (sizes[:, 0] - 1) / 2, (sizes[:, 1] - 1) / 2], 1)
+    dist = compute_distances(boxes)
+
+    def cost(med):
+        return float(dist[med].min(axis=0).sum())
+
+    m_pam, a_pam = pam(dist, 3, rng)
+    m_loc, a_loc = k_medoids(dist, 3, np.random.default_rng(0))
+    assert len(set(m_pam.tolist())) == 3
+    assert a_pam.shape == (180,)
+    assert cost(m_pam) <= cost(m_loc) + 1e-9
+    # with k=3 on three tight clusters, PAM must find one medoid per cluster
+    assert sorted(np.searchsorted([60, 120], m_pam, side="right").tolist()) == [0, 1, 2]
+
+
+def test_reference_backend_names_map_to_pam(tmp_path):
+    from tinyfaces_tpu.clustering.cluster import compute_kmedoids
+
+    rng = np.random.default_rng(1)
+    s = rng.uniform(10, 100, (40, 2))
+    boxes = np.stack([np.zeros(40), np.zeros(40), s[:, 0], s[:, 1]], 1)
+    for opt in ("pyclustering", "pyclust", "pam"):
+        out = compute_kmedoids(boxes, 1, option=opt, indices=3,
+                               max_clusters=4, seed=0)
+        assert out[3]["n_clusters"] == 3
+        assert np.asarray(out[3]["medoids"]).shape == (3, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compute_kmedoids(boxes, 1, option="sklearn", indices=3, max_clusters=3)

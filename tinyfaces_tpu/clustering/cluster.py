@@ -8,9 +8,12 @@ boxes as the canonical templates.
 Differences from the reference, by design:
   * the O(N^2) pairwise-IoU Python loop (cluster.py:28-36) is one vectorized
     NumPy broadcast — seconds instead of hours at N=5000;
-  * the third-party pyclustering/pyclust backends are replaced by a local
-    Voronoi-iteration k-medoids (same algorithm family as the reference's
-    'local' option) — no native C++ dependency needed at this scale;
+  * two in-repo backends replace the third-party dependencies
+    (cluster.py:65-114): "local" is Voronoi-iteration k-medoids (the
+    reference's 'local' option, k_medoids.py:6-69) and "pam" is a
+    vectorized BUILD+SWAP PAM — the algorithm pyclustering's C++ core
+    implements — reached also via the reference's option names
+    'pyclustering'/'pyclust';
   * the distance-matrix joblib cache is a plain .npy file.
 """
 
@@ -82,6 +85,86 @@ def k_medoids(distances: np.ndarray, k: int, rng: np.random.Generator,
     return medoids, assign
 
 
+def pam(distances: np.ndarray, k: int, rng: np.random.Generator,
+        max_swaps: int = 200):
+    """PAM k-medoids: greedy BUILD init + best-improvement SWAP phase.
+
+    The same algorithm family as the reference's pyclustering C++ backend
+    (cluster.py:65-92); typically reaches lower total cost than Voronoi
+    iteration at the price of O(k * N^2) per swap scan. `rng` is accepted
+    for interface parity (PAM is deterministic; only used to break ties in
+    degenerate all-equal-distance cases).
+
+    Returns (medoid_indices (k,), assignment (N,)).
+    """
+    n = distances.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds the {n} available boxes")
+
+    # BUILD: start from the 1-medoid optimum, then greedily add the point
+    # that most reduces total nearest-medoid distance.
+    medoids = [int(np.argmin(distances.sum(axis=1)))]
+    d1 = distances[medoids[0]].copy()  # (N,) nearest-medoid distance
+    while len(medoids) < k:
+        # gain[c] = total reduction if candidate c becomes a medoid
+        gain = np.maximum(d1[None, :] - distances, 0.0).sum(axis=1)
+        gain[medoids] = -np.inf
+        c = int(np.argmax(gain))
+        medoids.append(c)
+        d1 = np.minimum(d1, distances[c])
+
+    medoids = np.asarray(medoids)
+
+    def nearest_two(med):
+        dm = distances[med]  # (k, N)
+        order = np.argsort(dm, axis=0, kind="stable")
+        i1 = order[0]
+        d1 = dm[i1, np.arange(n)]
+        d2 = dm[order[1], np.arange(n)] if len(med) > 1 else np.full(n, np.inf)
+        return i1, d1, d2  # i1 indexes into `med`
+
+    for _ in range(max_swaps):
+        i1, d1, d2 = nearest_two(medoids)
+        # base[h] = sum_j min(0, D[h,j] - d1[j])  (gain from points that
+        # would defect to candidate h regardless of which medoid leaves)
+        diff = distances - d1[None, :]  # (N_h, N_j)
+        neg = np.minimum(diff, 0.0)
+        base = neg.sum(axis=1)
+        best = (0.0, None, None)
+        for mi in range(len(medoids)):
+            mask = i1 == mi  # points whose nearest medoid is medoids[mi]
+            if not mask.any():
+                delta = base.copy()
+            else:
+                # for those points the leaving medoid forces a move:
+                # cost becomes min(d2[j], D[h,j]) instead of d1[j]
+                forced = (
+                    np.minimum(distances[:, mask], d2[None, mask])
+                    - d1[None, mask]
+                ).sum(axis=1)
+                delta = base - neg[:, mask].sum(axis=1) + forced
+            delta[medoids] = np.inf
+            h = int(np.argmin(delta))
+            if delta[h] < best[0] - 1e-12:
+                best = (float(delta[h]), mi, h)
+        if best[1] is None:
+            break
+        medoids = medoids.copy()
+        medoids[best[1]] = best[2]
+
+    assign = np.argmin(distances[medoids, :], axis=0)
+    return medoids, assign
+
+
+BACKENDS = {
+    "local": k_medoids,
+    "pam": pam,
+    # reference option names (cluster.py:65,94) map onto the PAM backend
+    "pyclustering": pam,
+    "pyclust": pam,
+}
+
+
 def compute_kmedoids(
     bboxes: np.ndarray,
     cls: int,
@@ -116,8 +199,15 @@ def compute_kmedoids(
         if cache is not None:
             np.save(cache, dist)
 
+    try:
+        backend = BACKENDS[option]
+    except KeyError:
+        raise ValueError(
+            f"unknown clustering backend {option!r}; choose from {sorted(BACKENDS)}"
+        ) from None
+
     for k in range(indices, max_clusters + 1):
-        medoid_idx, _ = k_medoids(dist, k, rng)
+        medoid_idx, _ = backend(dist, k, rng)
         clustering.append(
             {"n_clusters": k, "medoids": boxes[medoid_idx], "class": cls}
         )

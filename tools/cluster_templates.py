@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--out", default="tinyfaces_tpu/data/templates.json")
     parser.add_argument("--max-limit", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--option", default="local",
+                        choices=("local", "pam", "pyclustering", "pyclust"),
+                        help="k-medoids backend (reference cluster.py:39-44; "
+                             "pyclustering/pyclust map to the PAM backend)")
     args = parser.parse_args()
 
     dataset = WIDERFace(args.traindata, np.zeros((0, 5)), split="train")
@@ -34,7 +38,7 @@ def main():
     print(f"{bboxes.shape[0]} GT boxes")
 
     clustering = compute_kmedoids(
-        bboxes, 1, indices=args.num_templates,
+        bboxes, 1, option=args.option, indices=args.num_templates,
         max_clusters=args.num_templates, max_limit=args.max_limit,
         seed=args.seed,
     )
