@@ -134,14 +134,14 @@ class PyramidDetector:
         self.mesh = mesh
         self.transfer = transfer
         self._mask_cache: dict[float, np.ndarray] = {}
-        self._stacked_masks: dict[tuple, jnp.ndarray] = {}
 
         stride = float(self.cfg.rf.stride[0])
         offset = float(self.cfg.rf.offset[0])
         model = self.model
 
         def forward_decode(variables, templates_j, image_u8, valid_h, valid_w,
-                           tmpl_mask, *, scale: float, prob_thresh: float, k: int):
+                           *, scale: float, prob_thresh: float, k: int,
+                           valid_ids: tuple):
             """One pyramid level: normalize -> FCN forward -> top-K decode."""
             x = normalize_images(image_u8[None])
             out = model.apply(variables, x, train=False)[0]
@@ -151,13 +151,14 @@ class PyramidDetector:
             hm_h = (valid_h + st - 1) // st
             hm_w = (valid_w + st - 1) // st
             return decode_scores(
-                out, templates_j, tmpl_mask,
+                out, templates_j, None,
                 prob_thresh=prob_thresh, stride=stride, offset=offset,
-                scale=scale, k=k, valid_hw=(hm_h, hm_w),
+                scale=scale, k=k, valid_hw=(hm_h, hm_w), valid_ids=valid_ids,
             )
 
         self._forward_decode = jax.jit(
-            forward_decode, static_argnames=("scale", "prob_thresh", "k")
+            forward_decode,
+            static_argnames=("scale", "prob_thresh", "k", "valid_ids"),
         )
         self._merge_nms = jax.jit(
             lambda boxes, scores, valid, *, nms_thresh, max_out: batched_nms_padded(
@@ -166,7 +167,7 @@ class PyramidDetector:
             static_argnames=("nms_thresh", "max_out"),
         )
 
-        def fused_pyramid(variables, templates_j, tmpl_masks, images_in, h0, w0,
+        def fused_pyramid(variables, templates_j, images_in, h0, w0,
                           *, scales: tuple, h0p: int, w0p: int,
                           prob_thresh: float, nms_thresh: float,
                           transfer: str):
@@ -177,18 +178,19 @@ class PyramidDetector:
             high per-call latency of remote-attached TPUs, and so XLA can
             overlap the scales' compute.
             """
+            # Decode/normalize straight into the model's compute dtype:
+            # halves the unpack+resize stages' HBM traffic for bf16
+            # inference (the first conv casts anyway).
             if transfer == "yuv420":
                 from tinyfaces_tpu.data.targets import yuv420_to_normalized
 
                 y, u, v = images_in
                 b = y.shape[0]
-                x0 = yuv420_to_normalized(y, u, v)
+                x0 = yuv420_to_normalized(y, u, v, dtype=self.model.dtype)
             else:
                 b = images_in.shape[0]
-                x0 = normalize_images(images_in)  # normalize commutes w/ resize
-            # Resize in the model's compute dtype: halves the resize stage's
-            # HBM traffic for bf16 inference (the first conv casts anyway).
-            x0 = x0.astype(self.model.dtype)
+                # normalize commutes with resize
+                x0 = normalize_images(images_in, dtype=self.model.dtype)
             min0 = jnp.minimum(h0, w0).astype(jnp.float32)
             k = self.ec.max_dets_per_scale
 
@@ -227,11 +229,18 @@ class PyramidDetector:
                 hm_h = (th_v + st - 1) // st
                 hm_w = (tw_v + st - 1) // st
 
+                # Template pruning is compile-time constant per scale: run
+                # the top-K over only the ids that can fire (~8 of 25) —
+                # identical results, ~3x smaller sort domain (the decode
+                # top-K was the single largest non-conv cost).
+                vids = tuple(
+                    int(i) for i in np.nonzero(self._template_mask(2.0**s))[0]
+                )
                 dets = jax.vmap(
                     lambda o, hh, ww: decode_scores(
-                        o, templates_j, tmpl_masks[si],
+                        o, templates_j, None,
                         prob_thresh=prob_thresh, stride=stride, offset=offset,
-                        scale=float(f), k=k, valid_hw=(hh, ww),
+                        scale=float(f), k=k, valid_hw=(hh, ww), valid_ids=vids,
                     )
                 )(out, hm_h, hm_w)
                 all_b.append(dets.boxes)
@@ -325,10 +334,6 @@ class PyramidDetector:
             if h < h0p:
                 batch[i, h:] = MEAN_PIXEL
 
-        if scales not in self._stacked_masks:
-            self._stacked_masks[scales] = jnp.asarray(
-                np.stack([self._template_mask(2.0**s) for s in scales])
-            )
         if self.transfer == "yuv420":
             from tinyfaces_tpu.data.targets import rgb_to_yuv420
 
@@ -346,7 +351,7 @@ class PyramidDetector:
             )
             hs_j, ws_j = (jax.device_put(a, sh) for a in (hs_j, ws_j))
         return self._fused_pyramid(
-            self.variables, self.templates_j, self._stacked_masks[scales],
+            self.variables, self.templates_j,
             images_j, hs_j, ws_j,
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
@@ -406,13 +411,15 @@ class PyramidDetector:
                 jnp.asarray(padded),
                 jnp.int32(th),
                 jnp.int32(tw),
-                jnp.asarray(self._template_mask(factor)),
                 # Parity note: the reference divides boxes by the exact 2**s
                 # factor even though the resize rounds to integer pixels
                 # (evaluation.py:44-47, utils.py:72-74).
                 scale=float(factor),
                 prob_thresh=float(prob_thresh),
                 k=self.ec.max_dets_per_scale,
+                valid_ids=tuple(
+                    int(i) for i in np.nonzero(self._template_mask(factor))[0]
+                ),
             )
             all_boxes.append(dets.boxes)
             all_scores.append(dets.scores)

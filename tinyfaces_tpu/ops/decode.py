@@ -61,7 +61,7 @@ def valid_template_mask(templates: np.ndarray, scale: float) -> np.ndarray:
 def decode_scores(
     output: jnp.ndarray,  # (H, W, 5T) raw model output for ONE image/scale
     templates: jnp.ndarray,  # (T, >=4)
-    template_valid: jnp.ndarray,  # (T,) bool — static per-scale pruning mask
+    template_valid,  # (T,) bool — per-scale pruning mask (traced or NumPy)
     *,
     prob_thresh: float,
     stride: float,
@@ -69,19 +69,36 @@ def decode_scores(
     scale: float,
     k: int,
     valid_hw: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    valid_ids: tuple | None = None,
 ) -> Detections:
     """Top-K decode of one score map into refined boxes.
 
     `valid_hw` masks heatmap rows/cols that come from input padding (when
     images are bucketed to static shapes); pass (h_valid, w_valid) as traced
     int scalars.
+
+    `valid_ids`: STATIC tuple of the template ids that may fire at this
+    scale (valid_template_mask(...).nonzero()). When given, the top-K runs
+    over only those channels — the mask is compile-time constant per scale,
+    and only ~8 of 25 ids can ever fire (utils.py:15-44 dead branch), so
+    this cuts the dominant top-K sort domain ~3x with identical results
+    (pruned channels could never pass the threshold anyway).
     """
     h, w, c = output.shape
     nt = templates.shape[0]
-    score_cls = output[..., :nt]
-    prob = jax.nn.sigmoid(score_cls)
 
-    prob = jnp.where(template_valid[None, None, :], prob, 0.0)
+    if valid_ids is not None:
+        ids = jnp.asarray(valid_ids, jnp.int32)  # (Tv,) static constants
+        ntv = len(valid_ids)
+        score_sel = output[..., ids]  # static gather (XLA slices)
+    else:
+        ids = None
+        ntv = nt
+        score_sel = output[..., :nt]
+
+    prob = jax.nn.sigmoid(score_sel)
+    if valid_ids is None:
+        prob = jnp.where(template_valid[None, None, :], prob, 0.0)
     if valid_hw is not None:
         hv, wv = valid_hw
         row_ok = jnp.arange(h)[:, None, None] < hv
@@ -96,9 +113,11 @@ def decode_scores(
         top_idx = jnp.pad(top_idx, (0, k - k_eff))
     valid = top_prob > prob_thresh
 
-    fc = top_idx % nt
-    fx = (top_idx // nt) % w
-    fy = top_idx // (nt * w)
+    fc = top_idx % ntv
+    if ids is not None:
+        fc = ids[fc]  # back to real template ids
+    fx = (top_idx // ntv) % w
+    fy = top_idx // (ntv * w)
 
     # Anchor geometry from the receptive field (utils.py:52-55).
     cy = fy.astype(jnp.float32) * stride + offset
@@ -125,6 +144,6 @@ def decode_scores(
     )
     boxes = boxes / scale  # back to original-image coordinates (utils.py:72-74)
 
-    scores = score_cls.reshape(-1)[loc * nt + fc]
+    scores = flat_out[loc, fc]  # raw cls logit at the winning (pos, template)
     boxes = jnp.where(valid[:, None], boxes, 0.0)
     return Detections(boxes=boxes, scores=jnp.where(valid, scores, -jnp.inf), valid=valid)

@@ -57,16 +57,15 @@ def main():
     dev_batch = jax.device_put(jnp.asarray(batch))
     hs_j = jnp.asarray(hs, jnp.int32); ws_j = jnp.asarray(ws, jnp.int32)
     scales = tuple(det.ec.scales)
-    masks = det._stacked_masks[scales]
     args = dict(scales=scales, h0p=768, w0p=1024,
                 prob_thresh=float(det.ec.prob_thresh),
-                nms_thresh=float(det.ec.nms_thresh))
-    r = det._fused_pyramid(det.variables, det.templates_j, masks,
+                nms_thresh=float(det.ec.nms_thresh), transfer="rgb")
+    r = det._fused_pyramid(det.variables, det.templates_j,
                            dev_batch, hs_j, ws_j, **args)
     jax.block_until_ready(r)
     t0 = time.time()
     for _ in range(5):
-        r = det._fused_pyramid(det.variables, det.templates_j, masks,
+        r = det._fused_pyramid(det.variables, det.templates_j,
                                dev_batch, hs_j, ws_j, **args)
         jax.block_until_ready(r)
     comp_ms = (time.time() - t0) / 5 * 1e3
