@@ -84,6 +84,22 @@ def main():
             "flip": rng.random(batch) > 0.5,
         }
 
+    transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
+    if transfer == "yuv420":
+        from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+        def pack(b):
+            y, u, v = rgb_to_yuv420(b.pop("image"))
+            return {**b, "image_y": y, "image_u": u, "image_v": v}
+    else:
+        def pack(b):
+            return b
+
+    _mb = make_batch
+
+    def make_batch():  # noqa: F811 — wrap with the wire-format packer
+        return pack(_mb())
+
     key = jax.random.PRNGKey(1)
 
     t0 = time.time()

@@ -48,6 +48,9 @@ def arguments(argv=None):
                         help="console cadence; >1 unblocks device pipelining")
     parser.add_argument("--metrics-log", default="",
                         help="append structured JSONL training metrics here")
+    parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
+                        help="train-input wire format; yuv420 halves H2D "
+                             "bytes (JPEG-native chroma subsampling)")
     # Multi-host SPMD (reference is single-device, main.py:60-64; these
     # launch one process per host — see tinyfaces_tpu/parallel/distributed.py)
     parser.add_argument("--coordinator-address", default="",
@@ -119,7 +122,8 @@ def main():
     weights_dir.mkdir(exist_ok=True)
 
     trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates,
-                      seed=args.seed, metrics_path=args.metrics_log or None)
+                      seed=args.seed, metrics_path=args.metrics_log or None,
+                      transfer=args.transfer)
     steps_per_epoch = max(1, len(train_dataset) // tc.batch_size)
     state = trainer.setup(steps_per_epoch, params, batch_stats)
 

@@ -150,3 +150,62 @@ def test_yuv420_plane_shapes_and_dtype():
     assert y.dtype == u.dtype == v.dtype == np.uint8
     # total wire bytes exactly halved
     assert y.nbytes + u.nbytes + v.nbytes == img.nbytes // 2
+
+
+def test_build_targets_yuv_matches_rgb_on_gray():
+    """build_targets with the yuv420-packed batch produces (near-)identical
+    normalized images and identical target maps vs the RGB batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.config import DetectorConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.data.loader import _pack_yuv
+    from tinyfaces_tpu.data.targets import build_targets
+
+    cfg = DetectorConfig(input_size=(64, 64), heatmap_size=(8, 8), max_gt=4)
+    rng = np.random.default_rng(0)
+    gray = np.repeat(rng.integers(0, 255, (64, 64, 1), dtype=np.uint8), 3, -1)
+    base = {
+        "image": gray,
+        "gt_boxes": np.array([[8.0, 8, 40, 44], [0, 0, 0, 0],
+                              [0, 0, 0, 0], [0, 0, 0, 0]], np.float32),
+        "gt_valid": np.array([True, False, False, False]),
+        "paste_box": np.array([0, 0, 64, 64], np.float32),
+        "flip": False,
+    }
+    rgb_batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in base.items()}
+    packed = _pack_yuv(base)
+    yuv_batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in packed.items()}
+
+    templates = jnp.asarray(load_templates(), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    img_a, cls_a, reg_a = build_targets(rgb_batch, templates, key, cfg)
+    img_b, cls_b, reg_b = build_targets(yuv_batch, templates, key, cfg)
+
+    assert np.abs(np.asarray(img_a) - np.asarray(img_b)).max() < 2.5 / 255 / 0.22
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_allclose(np.asarray(reg_a), np.asarray(reg_b))
+
+
+def test_loader_yuv_pack_mode():
+    from tinyfaces_tpu.data.loader import PrefetchLoader
+
+    class Ds:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "image": rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                "flip": bool(i % 2),
+            }
+
+    batches = list(PrefetchLoader(Ds(), 4, workers=2, shuffle=False,
+                                  pack="yuv420"))
+    b = batches[0]
+    assert "image" not in b
+    assert b["image_y"].shape == (4, 32, 32)
+    assert b["image_u"].shape == b["image_v"].shape == (4, 16, 16)
+    assert b["image_y"].dtype == np.uint8

@@ -27,6 +27,18 @@ def _collate(items: list[dict]) -> dict:
     return out
 
 
+def _pack_yuv(item: dict) -> dict:
+    """Replace a sample's RGB canvas with planar YCbCr 4:2:0 (1.5 B/px):
+    halves train-input H2D bytes; build_targets unpacks on device. Runs in
+    the worker pool (PIL's converter drops the GIL)."""
+    from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+    item = dict(item)
+    y, u, v = rgb_to_yuv420(item.pop("image")[None])
+    item["image_y"], item["image_u"], item["image_v"] = y[0], u[0], v[0]
+    return item
+
+
 class PrefetchLoader:
     """Iterable over device-ready batches with background workers.
 
@@ -38,7 +50,7 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, workers: int = 8,
                  prefetch: int = 4, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, epoch: int = 0,
-                 rank: int = 0, world: int = 1):
+                 rank: int = 0, world: int = 1, pack: str = "rgb"):
         """`epoch`: starting epoch for the (seed, epoch)-derived shuffle and
         augmentation streams — pass the true training epoch when a fresh
         loader is built per epoch (Trainer does), so each epoch draws fresh
@@ -60,8 +72,15 @@ class PrefetchLoader:
         self.epoch = epoch
         if world > 1 and batch_size % world:
             raise ValueError(f"batch_size {batch_size} not divisible by world {world}")
+        if pack not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown pack mode {pack!r}")
         self.rank = rank
         self.world = world
+        self.pack = pack
+
+    def _load_one(self, i: int) -> dict:
+        item = self.dataset[int(i)]
+        return _pack_yuv(item) if self.pack == "yuv420" else item
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -104,7 +123,7 @@ class PrefetchLoader:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for b in range(nb):
                         idxs = self._batch_indices(order, b)
-                        items = list(pool.map(self.dataset.__getitem__, [int(i) for i in idxs]))
+                        items = list(pool.map(self._load_one, [int(i) for i in idxs]))
                         q.put(_collate(items))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
@@ -151,11 +170,12 @@ class NativePrefetchLoader(PrefetchLoader):
         def decode_and_augment(i: int):
             sample = self.dataset.samples[i]
             img = self.dataset._decode(i)
-            return native.native_augment_sample(
+            item = native.native_augment_sample(
                 img, sample.bboxes.astype(np.float32), cfg.input_size,
                 cfg.neg_thresh, cfg.max_gt,
                 seed=base_seed + int(i) * 0x9E3779B9,
             )
+            return _pack_yuv(item) if self.pack == "yuv420" else item
 
         def produce():
             try:

@@ -86,7 +86,14 @@ def build_targets(
     ofy, ofx = cfg.rf.offset
     sty, stx = cfg.rf.stride
 
-    images = normalize_images(batch["image"])
+    if "image_y" in batch:
+        # YUV420-packed wire format (PrefetchLoader pack="yuv420"): halve
+        # the train-input H2D bytes; colorspace conversion fuses here.
+        images = yuv420_to_normalized(
+            batch["image_y"], batch["image_u"], batch["image_v"]
+        )
+    else:
+        images = normalize_images(batch["image"])
 
     pad_masks = jax.vmap(
         lambda pb, fl: compute_pad_mask(
@@ -95,7 +102,7 @@ def build_targets(
         )
     )(batch["paste_box"], batch["flip"])
 
-    keys = jax.random.split(key, batch["image"].shape[0])
+    keys = jax.random.split(key, images.shape[0])
     if jax.default_backend() == "tpu":
         # Fused Pallas reductions: no (Y,X,T,G) HBM tensor, ~40x faster
         # compiles and ~1.4x faster steps than the XLA broadcast path.

@@ -232,6 +232,7 @@ class Trainer:
     mesh: Any = None
     seed: int = 0
     metrics_path: Any = None  # JSONL structured log (optional)
+    transfer: str = "rgb"  # train-input wire format ("yuv420" halves H2D)
 
     def __post_init__(self):
         if self.mesh is None:
@@ -272,7 +273,7 @@ class Trainer:
         loader = loader_cls(
             dataset, self.tc.batch_size, workers=self.tc.workers,
             shuffle=True, seed=self.seed, epoch=epoch,
-            rank=jax.process_index(), world=world,
+            rank=jax.process_index(), world=world, pack=self.transfer,
         )
         timer = StepTimer(warmup=1)
         n_batches = len(loader)
@@ -300,7 +301,10 @@ class Trainer:
             else:
                 batch = shard_batch(host_batch, self.mesh)
             state, lb = self.step_fn(state, batch, self.key)
-            pending.append((idx, host_batch["image"].shape[0], lb))
+            n_local = host_batch.get(
+                "image", host_batch.get("image_y")
+            ).shape[0]
+            pending.append((idx, n_local, lb))
             if idx % log_every == 0:
                 drain()
                 print_state(idx, epoch, n_batches,
