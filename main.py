@@ -51,6 +51,9 @@ def arguments(argv=None):
     parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
                         help="train-input wire format; yuv420 halves H2D "
                              "bytes (JPEG-native chroma subsampling)")
+    parser.add_argument("--nan-guard", action="store_true",
+                        help="drop non-finite updates on device instead of "
+                             "poisoning the weights")
     # Multi-host SPMD (reference is single-device, main.py:60-64; these
     # launch one process per host — see tinyfaces_tpu/parallel/distributed.py)
     parser.add_argument("--coordinator-address", default="",
@@ -123,7 +126,7 @@ def main():
 
     trainer = Trainer(model=model, cfg=cfg, tc=tc, templates=templates,
                       seed=args.seed, metrics_path=args.metrics_log or None,
-                      transfer=args.transfer)
+                      transfer=args.transfer, nan_guard=args.nan_guard)
     steps_per_epoch = max(1, len(train_dataset) // tc.batch_size)
     state = trainer.setup(steps_per_epoch, params, batch_stats)
 

@@ -151,3 +151,42 @@ def test_multi_step_scan_matches_sequential():
     a = jax.device_get(state_a.params)["score_res3"]["kernel"]
     b = jax.device_get(state_b.params)["score_res3"]["kernel"]
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_nan_guard_drops_poisoned_update():
+    """nan_guard=True: a batch that produces a non-finite loss must leave
+    params/opt_state/batch_stats EXACTLY unchanged (step still advances);
+    without the guard the same batch poisons the weights."""
+    templates, model, tx, state = _setup()
+    state = jax.device_get(state)
+    batch = _toy_batch(4, CFG)
+    # poison one head weight with NaN: the forward then yields a non-finite
+    # loss, the classic mid-training blow-up the guard exists for
+    state.params["score_res3"]["kernel"] = np.array(
+        state.params["score_res3"]["kernel"]
+    )
+    state.params["score_res3"]["kernel"][0, 0, 0, 0] = np.nan
+
+    def run(nan_guard):
+        st = jax.tree_util.tree_map(jnp.asarray, state)
+        fn = make_train_step(model, tx, CFG, templates, nan_guard=nan_guard)
+        st2, lb = fn(st, {k: jnp.asarray(v) for k, v in batch.items()},
+                     jax.random.PRNGKey(0))
+        return jax.device_get(st2), float(lb.total)
+
+    guarded, loss_g = run(True)
+    assert not np.isfinite(loss_g)  # loss still reported
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, guarded.params, state.params
+    )
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, guarded.opt_state, state.opt_state
+    )
+    assert int(guarded.step) == int(state.step) + 1
+
+    unguarded, _ = run(False)
+    poisoned = not np.isfinite(
+        np.concatenate([np.ravel(x) for x in
+                        jax.tree_util.tree_leaves(unguarded.params)])
+    ).all()
+    assert poisoned

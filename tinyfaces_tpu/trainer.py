@@ -102,9 +102,18 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: DetectorConfig,
     templates: np.ndarray,
+    nan_guard: bool = False,
 ) -> Callable:
-    """Returns jitted (state, batch, key) -> (state, LossBreakdown)."""
-    step = _train_step_body(model, tx, cfg, templates)
+    """Returns jitted (state, batch, key) -> (state, LossBreakdown).
+
+    `nan_guard`: failure detection in the step itself (SURVEY §5) — when the
+    loss is non-finite (bad batch, fp blow-up), the update is dropped ON
+    DEVICE (params/opt_state/batch_stats keep their previous values; only
+    `step` advances) instead of poisoning every weight with NaNs. The loss
+    breakdown still reports the non-finite value so the host can count and
+    log skipped steps. Zero-cost when the loss is finite (a select per leaf,
+    fused by XLA); no host round-trip either way."""
+    step = _train_step_body(model, tx, cfg, templates, nan_guard=nan_guard)
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -142,6 +151,7 @@ def _train_step_body(
     tx: optax.GradientTransformation,
     cfg: DetectorConfig,
     templates: np.ndarray,
+    nan_guard: bool = False,
 ) -> Callable:
     templates_j = jnp.asarray(templates, jnp.float32)
 
@@ -168,6 +178,16 @@ def _train_step_body(
         grads, (new_stats, lb) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        if nan_guard:
+            ok = jnp.isfinite(lb.total)
+            keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+            new_params = keep(new_params, state.params)
+            new_stats = keep(new_stats, state.batch_stats)
+            new_opt = keep(new_opt, state.opt_state)
+
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,
@@ -233,6 +253,7 @@ class Trainer:
     seed: int = 0
     metrics_path: Any = None  # JSONL structured log (optional)
     transfer: str = "rgb"  # train-input wire format ("yuv420" halves H2D)
+    nan_guard: bool = False  # drop non-finite updates on device (SURVEY §5)
 
     def __post_init__(self):
         if self.mesh is None:
@@ -246,6 +267,7 @@ class Trainer:
         self.step_fn = None
         self.class_average = AvgMeter()
         self.reg_average = AvgMeter()
+        self.skipped_steps = 0  # non-finite-loss steps seen (nan_guard)
         self.key = jax.random.PRNGKey(self.seed)
 
         from tinyfaces_tpu.utils.metrics_log import MetricsLogger
@@ -254,7 +276,8 @@ class Trainer:
 
     def setup(self, steps_per_epoch: int, params, batch_stats) -> TrainState:
         self.tx = make_optimizer(self.tc, steps_per_epoch)
-        self.step_fn = make_train_step(self.model, self.tx, self.cfg, self.templates)
+        self.step_fn = make_train_step(self.model, self.tx, self.cfg,
+                                       self.templates, nan_guard=self.nan_guard)
         state = create_train_state(self.model, params, batch_stats, self.tx)
         return replicate_tree(state, self.mesh)
 
@@ -288,8 +311,14 @@ class Trainer:
             # device, so ticking here measures finished work — ticking at
             # dispatch time would report the (async) enqueue rate.
             for pidx, bsz, plb in pending:
-                self.class_average.update(float(plb.class_loss), bsz)
-                self.reg_average.update(float(plb.reg_loss), bsz)
+                total = float(plb.total)
+                if not np.isfinite(total):
+                    self.skipped_steps += 1
+                    print(f"WARNING: non-finite loss at step {pidx} "
+                          f"({'update dropped' if self.nan_guard else 'UPDATE APPLIED — enable nan_guard'})")
+                else:
+                    self.class_average.update(float(plb.class_loss), bsz)
+                    self.reg_average.update(float(plb.reg_loss), bsz)
                 timer.tick(items=bsz * world)
             pending.clear()
 
