@@ -91,7 +91,6 @@ def main():
             dets = detector._fetch(q.popleft())[-1]
         rates.append(iters * batch / (time.time() - t0))
     rates.sort()
-    dt = iters * batch / rates[-1]  # best window, for the stderr note
 
     imgs_per_sec = rates[len(rates) // 2]
     print(

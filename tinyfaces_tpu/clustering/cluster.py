@@ -92,8 +92,8 @@ def pam(distances: np.ndarray, k: int, rng: np.random.Generator,
     The same algorithm family as the reference's pyclustering C++ backend
     (cluster.py:65-92); typically reaches lower total cost than Voronoi
     iteration at the price of O(k * N^2) per swap scan. `rng` is accepted
-    for interface parity (PAM is deterministic; only used to break ties in
-    degenerate all-equal-distance cases).
+    purely for BACKENDS interface parity — PAM is deterministic and never
+    draws from it.
 
     Returns (medoid_indices (k,), assignment (N,)).
     """

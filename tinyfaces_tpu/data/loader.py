@@ -72,6 +72,10 @@ class PrefetchLoader:
         self.epoch = epoch
         if world > 1 and batch_size % world:
             raise ValueError(f"batch_size {batch_size} not divisible by world {world}")
+        if world > 1 and not drop_last:
+            # the trailing partial batch would yield unequal/empty per-rank
+            # slices and inconsistent global shapes across processes
+            raise ValueError("multi-host slicing (world > 1) requires drop_last")
         if pack not in ("rgb", "yuv420"):
             raise ValueError(f"unknown pack mode {pack!r}")
         self.rank = rank

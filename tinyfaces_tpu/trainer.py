@@ -180,13 +180,28 @@ def _train_step_body(
         new_params = optax.apply_updates(state.params, updates)
 
         if nan_guard:
+            # A blow-up can live in the backward pass alone (inf gradient
+            # product under a finite loss), so gate on the UPDATE tree too,
+            # not just the loss scalar.
+            finite_updates = [
+                jnp.all(jnp.isfinite(u))
+                for u in jax.tree_util.tree_leaves(updates)
+                if jnp.issubdtype(u.dtype, jnp.floating)
+            ]
             ok = jnp.isfinite(lb.total)
+            for f in finite_updates:
+                ok = ok & f
             keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
                 lambda n, o: jnp.where(ok, n, o), new, old
             )
             new_params = keep(new_params, state.params)
             new_stats = keep(new_stats, state.batch_stats)
             new_opt = keep(new_opt, state.opt_state)
+            # Surface the skip to the host: a dropped step reports NaN total
+            # so the epoch loop counts/warns and excludes it from averages.
+            lb = lb._replace(
+                total=jnp.where(ok, lb.total, jnp.nan).astype(lb.total.dtype)
+            )
 
         new_state = state.replace(
             params=new_params,
@@ -257,12 +272,26 @@ class Trainer:
 
     def __post_init__(self):
         if self.mesh is None:
-            # Use the largest device prefix whose count divides the batch.
             devices = jax.devices()
-            k = len(devices)
-            while k > 1 and self.tc.batch_size % k != 0:
-                k -= 1
-            self.mesh = make_mesh(devices[:k])
+            if jax.process_count() > 1:
+                # Multi-host: the mesh MUST span every global device — a
+                # shrunken prefix mesh covers processes unevenly while the
+                # loader slices the global batch equally per process, and
+                # host_local_batch would then demand mismatched row counts.
+                if self.tc.batch_size % len(devices):
+                    raise ValueError(
+                        f"multi-host training needs batch_size divisible by "
+                        f"the global device count ({len(devices)}); got "
+                        f"{self.tc.batch_size}"
+                    )
+                self.mesh = make_mesh(devices)
+            else:
+                # Single host: largest device prefix whose count divides
+                # the batch.
+                k = len(devices)
+                while k > 1 and self.tc.batch_size % k != 0:
+                    k -= 1
+                self.mesh = make_mesh(devices[:k])
         self.tx = None
         self.step_fn = None
         self.class_average = AvgMeter()

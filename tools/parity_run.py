@@ -153,6 +153,13 @@ def main(argv=None):
     dataset = WIDERFace(valdata, templates, cfg=cfg, dataset_root=root,
                         split="val")
     results_dir = Path("parity_val_results")
+    if results_dir.exists():
+        # stale result files from a previous run (other checkpoint / smoke
+        # tree) would enter the evaluator's global score normalization and
+        # corrupt the PASS/FAIL verdict
+        import shutil
+
+        shutil.rmtree(results_dir)
 
     ab = None
     if args.ab_images:
