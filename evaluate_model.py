@@ -33,6 +33,9 @@ def arguments(argv=None):
     parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
                         help="fused-path wire format; yuv420 halves H2D bytes"
                              " (JPEG-native chroma subsampling)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard each fused batch over every local chip "
+                             "(requires eval-batch divisible by chip count)")
 
     return parser.parse_args(argv)
 
@@ -74,11 +77,14 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
 
     # HBM guard: the 2x pyramid level dominates activation memory, so cap the
     # per-bucket batch by a pixel budget (eval_batch at the 768x1024-class
-    # bucket, fewer for larger originals, always >= 1).
+    # bucket, fewer for larger originals, always >= 1). Under mesh sharding
+    # the batch must stay divisible by the mesh size.
     budget_px = eval_batch * 768 * 1024
+    mesh_n = detector.mesh.size if detector.mesh is not None else 1
 
     def bucket_batch(bucket) -> int:
-        return max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
+        n = max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
+        return max(mesh_n, n // mesh_n * mesh_n)
 
     def settle(entry):
         nonlocal done, dets
@@ -147,8 +153,22 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from tinyfaces_tpu.parallel.mesh import make_mesh
+
+        if args.eval_batch % len(jax.devices()):
+            raise SystemExit(
+                f"--data-parallel needs --eval-batch divisible by the "
+                f"{len(jax.devices())} devices"
+            )
+        mesh = make_mesh()
+
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig(), transfer=args.transfer)
+                               ec=EvalConfig(), transfer=args.transfer,
+                               mesh=mesh)
     run(
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,

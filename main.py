@@ -54,6 +54,9 @@ def arguments(argv=None):
     parser.add_argument("--nan-guard", action="store_true",
                         help="drop non-finite updates on device instead of "
                              "poisoning the weights")
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="write checkpoints in the background (training "
+                             "continues during the save)")
     # Multi-host SPMD (reference is single-device, main.py:60-64; these
     # launch one process per host — see tinyfaces_tpu/parallel/distributed.py)
     parser.add_argument("--coordinator-address", default="",
@@ -178,9 +181,14 @@ def main():
                     state, epoch + 1, tc.batch_size,
                     save_path=weights_dir,
                     filename=f"checkpoint_{epoch + 1}",
+                    block=not args.async_checkpoint,
                 )
         if stop_requested["flag"]:
             break
+
+    from tinyfaces_tpu.trainer import wait_for_checkpoints
+
+    wait_for_checkpoints()
 
 
 def debug_visualize(dataset):

@@ -190,3 +190,31 @@ def test_nan_guard_drops_poisoned_update():
                         jax.tree_util.tree_leaves(unguarded.params)])
     ).all()
     assert poisoned
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """block=False returns immediately; after wait_for_checkpoints the
+    checkpoint restores bit-identically."""
+    from tinyfaces_tpu.trainer import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    templates, model, tx, state = _setup()
+    host = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.zeros((), np.int32),
+        "epoch": np.zeros((), np.int64),
+        "batch_size": np.zeros((), np.int64),
+    }
+    path = save_checkpoint(state, epoch=3, batch_size=8, save_path=tmp_path,
+                           filename="ck_async", block=False)
+    wait_for_checkpoints()
+    restored = load_checkpoint(path, host)
+    assert int(restored["epoch"]) == 3 and int(restored["batch_size"]) == 8
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, restored["params"], host["params"]
+    )

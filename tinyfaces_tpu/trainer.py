@@ -228,14 +228,23 @@ def print_state(idx: int, epoch: int, size: int, loss_cls: float, loss_reg: floa
     )
 
 
+_ASYNC_CKPTR = None  # lazily-built shared AsyncCheckpointer
+
+
 def save_checkpoint(state: TrainState, epoch: int, batch_size: int,
                     save_path: str | Path = "weights",
-                    filename: str = "checkpoint") -> Path:
-    """Orbax checkpoint of the full training state + metadata."""
+                    filename: str = "checkpoint",
+                    block: bool = True) -> Path:
+    """Orbax checkpoint of the full training state + metadata.
+
+    `block=False` hands the (host-resident) payload to orbax's async
+    checkpointer and returns immediately — training continues while the
+    files are written. Call `wait_for_checkpoints()` before process exit
+    (main.py does) or before reading the checkpoint back.
+    """
     import orbax.checkpoint as ocp
 
     path = Path(save_path).absolute() / filename
-    ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -244,9 +253,26 @@ def save_checkpoint(state: TrainState, epoch: int, batch_size: int,
         "epoch": np.asarray(epoch),
         "batch_size": np.asarray(batch_size),
     }
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+    else:
+        global _ASYNC_CKPTR
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        _ASYNC_CKPTR.save(
+            path, args=ocp.args.StandardSave(payload), force=True
+        )
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save has committed to disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str | Path, abstract_state: Optional[dict] = None) -> dict:
