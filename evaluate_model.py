@@ -36,6 +36,14 @@ def arguments(argv=None):
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard each fused batch over every local chip "
                              "(requires eval-batch divisible by chip count)")
+    parser.add_argument("--shard", default="batch",
+                        choices=("batch", "spatial", "auto"),
+                        help="mesh sharding mode with --data-parallel: batch "
+                             "= one image group per chip (throughput); "
+                             "spatial = GSPMD H-axis partitioning of each "
+                             "image (single-image latency on huge inputs); "
+                             "auto = spatial when the batch is smaller than "
+                             "the mesh")
 
     return parser.parse_args(argv)
 
@@ -80,7 +88,15 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     # bucket, fewer for larger originals, always >= 1). Under mesh sharding
     # the batch must stay divisible by the mesh size.
     budget_px = eval_batch * 768 * 1024
-    mesh_n = detector.mesh.size if detector.mesh is not None else 1
+    # Batch-axis divisibility only binds under batch sharding; pure spatial
+    # sharding splits H instead, so any batch size (incl. 1) is valid.
+    # ("auto" keeps the divisible batches so full buckets ride the batch
+    # axis; a smaller-than-mesh tail batch falls back to spatial.)
+    mesh_n = (
+        detector.mesh.size
+        if detector.mesh is not None and getattr(detector, "shard", "batch") != "spatial"
+        else 1
+    )
 
     def bucket_batch(bucket) -> int:
         n = max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
@@ -159,7 +175,7 @@ def main():
 
         from tinyfaces_tpu.parallel.mesh import make_mesh
 
-        if args.eval_batch % len(jax.devices()):
+        if args.shard == "batch" and args.eval_batch % len(jax.devices()):
             raise SystemExit(
                 f"--data-parallel needs --eval-batch divisible by the "
                 f"{len(jax.devices())} devices"
@@ -168,7 +184,7 @@ def main():
 
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
                                ec=EvalConfig(), transfer=args.transfer,
-                               mesh=mesh)
+                               mesh=mesh, shard=args.shard)
     run(
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,

@@ -111,11 +111,18 @@ class PyramidDetector:
         ec: EvalConfig | None = None,
         mesh=None,
         transfer: str = "rgb",
+        shard: str = "batch",
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis — the fused
         pyramid batch shards over it (one group of images per chip; SURVEY.md
         §5's pyramid-across-chips scaling). Batch size must then be divisible
         by the mesh size.
+
+        `shard` (with a mesh): "batch" = data-parallel over images
+        (throughput); "spatial" = GSPMD spatial partitioning of each image's
+        H axis (single-image latency on huge inputs — XLA inserts the conv
+        halo exchanges; see parallel/spatial.py); "auto" = spatial when the
+        batch is smaller than the mesh, else batch.
 
         `transfer`: wire format for the fused batch path. "rgb" uploads the
         uint8 RGB canvas (3 B/px, bit-exact vs the reference input);
@@ -125,6 +132,9 @@ class PyramidDetector:
         <=~2/255 chroma cost, matching what a JPEG source already lost."""
         if transfer not in ("rgb", "yuv420"):
             raise ValueError(f"unknown transfer mode {transfer!r}")
+        if shard not in ("batch", "spatial", "auto"):
+            raise ValueError(f"unknown shard mode {shard!r}")
+        self.shard = shard
         self.model = model
         self.variables = variables
         self.templates = np.asarray(templates, np.float64)
@@ -343,13 +353,21 @@ class PyramidDetector:
         hs_j = jnp.asarray(hs, jnp.int32)
         ws_j = jnp.asarray(ws, jnp.int32)
         if self.mesh is not None:
-            from tinyfaces_tpu.parallel.mesh import batch_sharding
+            from tinyfaces_tpu.parallel.mesh import batch_sharding, replicate
+            from tinyfaces_tpu.parallel.spatial import choose_eval_sharding
 
-            sh = batch_sharding(self.mesh)
+            sh = choose_eval_sharding(self.mesh, len(images), self.shard)
             images_j = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sh), images_j
             )
-            hs_j, ws_j = (jax.device_put(a, sh) for a in (hs_j, ws_j))
+            # Per-image valid sizes follow the batch axis; under spatial
+            # sharding the batch axis is unsharded, so replicate them.
+            vec_sh = (
+                batch_sharding(self.mesh)
+                if sh.spec == batch_sharding(self.mesh).spec
+                else replicate(self.mesh)
+            )
+            hs_j, ws_j = (jax.device_put(a, vec_sh) for a in (hs_j, ws_j))
         return self._fused_pyramid(
             self.variables, self.templates_j,
             images_j, hs_j, ws_j,

@@ -377,18 +377,37 @@ class Trainer:
                 timer.tick(items=bsz * world)
             pending.clear()
 
-        for idx, host_batch in enumerate(loader):
+        it = iter(loader)
+
+        def fetch_and_put():
+            """Pull the next host batch and ENQUEUE its H2D transfer (async).
+
+            Called right after the current step is dispatched, so batch i+1's
+            decode + upload overlap step i's device compute even when drain()
+            (the blocking loss fetch) runs at every logging point — without
+            this, log_every=1 (the reference's per-iteration print) would
+            serialize upload -> compute -> fetch each step."""
+            host_batch = next(it, None)
+            if host_batch is None:
+                return None
             if world > 1:
                 from tinyfaces_tpu.parallel.distributed import host_local_batch
 
                 batch = host_local_batch(host_batch, self.mesh)
             else:
                 batch = shard_batch(host_batch, self.mesh)
-            state, lb = self.step_fn(state, batch, self.key)
             n_local = host_batch.get(
                 "image", host_batch.get("image_y")
             ).shape[0]
+            return batch, n_local
+
+        nxt = fetch_and_put()
+        idx = 0
+        while nxt is not None:
+            batch, n_local = nxt
+            state, lb = self.step_fn(state, batch, self.key)
             pending.append((idx, n_local, lb))
+            nxt = fetch_and_put()  # overlap next upload with this step
             if idx % log_every == 0:
                 drain()
                 print_state(idx, epoch, n_batches,
@@ -399,6 +418,7 @@ class Trainer:
                     loss_reg=self.reg_average.average,
                     images_per_sec=timer.items_per_sec,
                 )
+            idx += 1
         drain()
         if timer.measured_steps:
             print(f"epoch {epoch}: {timer.items_per_sec:.2f} images/sec")
