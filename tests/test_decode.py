@@ -77,3 +77,30 @@ def test_decode_masks_invalid_templates_and_padding():
     )
     assert int(dets.valid.sum()) == 1
     np.testing.assert_allclose(float(dets.scores[0]), 4.0)
+
+
+def test_exact_top_k_matches_monolithic():
+    """Two-stage exact_top_k must reproduce lax.top_k exactly — values AND
+    indices, including lowest-index tie-breaking across group boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.ops.decode import exact_top_k
+
+    rng = np.random.default_rng(0)
+    n, k = 8192, 100
+    # heavy ties: quantized values force cross-group tie-breaks
+    x = jnp.asarray(np.round(rng.standard_normal(n), 1).astype(np.float32))
+
+    rv, ri = jax.lax.top_k(x, k)
+    tv, ti = exact_top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(ti))
+
+    # fallback + odd shapes: small input, prime length, k ~ n
+    for n2, k2 in ((512, 64), (997, 64), (4096, 4000)):
+        x2 = jnp.asarray(rng.standard_normal(n2).astype(np.float32))
+        rv2, ri2 = jax.lax.top_k(x2, k2)
+        tv2, ti2 = exact_top_k(x2, k2)
+        np.testing.assert_array_equal(np.asarray(rv2), np.asarray(tv2))
+        np.testing.assert_array_equal(np.asarray(ri2), np.asarray(ti2))
