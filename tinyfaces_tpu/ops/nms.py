@@ -20,11 +20,35 @@ import jax.numpy as jnp
 from tinyfaces_tpu.ops.boxes import pairwise_iou
 
 
+def _fixpoint_keep(
+    upper: jnp.ndarray,  # (S, S) bool: j suppresses i (strict upper triangle)
+    valid: jnp.ndarray,  # (S,) bool: carried-in validity / keep state
+) -> jnp.ndarray:
+    """Greedy NMS over one sorted block as a Jacobi fixpoint: keep[i] =
+    valid[i] & no kept j<i suppresses i. Row i stabilizes once every
+    overlapping j<i has (depth-k rows are final after k sweeps), so this
+    converges to the EXACT greedy result in O(suppression-chain depth)
+    sweeps — each sweep one (S,S) VPU op instead of S sequential steps."""
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(upper & keep[:, None], axis=0)
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    return keep
+
+
 def nms(
     boxes: jnp.ndarray,  # (N, 4)
     scores: jnp.ndarray,  # (N,)
     iou_threshold: float,
     valid: jnp.ndarray | None = None,  # (N,) bool
+    block: int = 512,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a fixed-size candidate set.
 
@@ -32,7 +56,15 @@ def nms(
     permutation and `keep` is the (N,) bool mask *in that order*. The caller
     recovers kept boxes as `boxes[order][keep]` (or keeps static shape by
     masking). Padding rows must carry `valid=False` (they are never kept).
-    """
+
+    Large candidate sets run the BLOCKED exact scheme: a lax.scan over
+    score-sorted blocks of `block` rows — fixpoint within the block, then one
+    (block, N) suppression of everything ranked below. Identical keep set to
+    the single fixpoint over the full (N, N) matrix, but the N^2 IoU matrix
+    is never materialized and each pair is touched once instead of
+    chain-depth times (the full-matrix fixpoint measured 42.6 ms of the
+    256 ms fused batch-16 program at N=4000: ~22 sweeps over a 4000^2 mask;
+    blocked form removes ~35 ms of that)."""
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
@@ -45,29 +77,40 @@ def nms(
     boxes_sorted = boxes[order]
     valid_sorted = valid[order]
 
-    iou = pairwise_iou(boxes_sorted, boxes_sorted)
-    idx = jnp.arange(n)
-    # upper[j, i]: higher-ranked j overlaps lower-ranked i enough to suppress.
-    upper = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
+    if n <= 2 * block:
+        iou = pairwise_iou(boxes_sorted, boxes_sorted)
+        idx = jnp.arange(n)
+        # upper[j, i]: higher-ranked j overlaps lower-ranked i enough.
+        upper = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
+        return order, _fixpoint_keep(upper, valid_sorted)
 
-    # Greedy NMS as a Jacobi fixpoint: keep[i] = valid[i] & no kept j<i
-    # suppresses i. Row i stabilizes once every overlapping j<i has (depth-k
-    # rows are final after k sweeps), so this converges to the EXACT greedy
-    # result in O(suppression-chain depth) sweeps — each sweep one (N,N)
-    # VPU op instead of N sequential steps (~50x faster than the fori_loop
-    # form at N=4000 on v5e).
-    def cond(state):
-        keep, prev_changed = state
-        return prev_changed
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:  # padding rows: valid=False, zero boxes (IoU 0 vs all)
+        boxes_sorted = jnp.pad(boxes_sorted, ((0, n_pad - n), (0, 0)))
+        valid_sorted = jnp.pad(valid_sorted, (0, n_pad - n))
 
-    def body(state):
-        keep, _ = state
-        suppressed = jnp.any(upper & keep[:, None], axis=0)
-        new_keep = valid_sorted & ~suppressed
-        return new_keep, jnp.any(new_keep != keep)
+    lidx = jnp.arange(block)
+    col = jnp.arange(n_pad)
 
-    keep, _ = jax.lax.while_loop(cond, body, (valid_sorted, jnp.bool_(True)))
-    return order, keep
+    def body(keep, i):
+        start = i * block
+        blk_boxes = jax.lax.dynamic_slice(boxes_sorted, (start, 0), (block, 4))
+        blk_keep = jax.lax.dynamic_slice(keep, (start,), (block,))
+        iou_blk = pairwise_iou(blk_boxes, boxes_sorted)  # (block, n_pad)
+        # exact greedy within the block, seeded by carried-in suppressions
+        iou_ii = jax.lax.dynamic_slice(iou_blk, (0, start), (block, block))
+        upper_ii = (iou_ii > iou_threshold) & (lidx[:, None] < lidx[None, :])
+        blk_final = _fixpoint_keep(upper_ii, blk_keep)
+        # one pass of suppression over everything ranked below this block
+        later = col >= start + block
+        sup = jnp.any((iou_blk > iou_threshold) & blk_final[:, None], axis=0)
+        keep = keep & ~(sup & later)
+        keep = jax.lax.dynamic_update_slice(keep, blk_final, (start,))
+        return keep, None
+
+    keep, _ = jax.lax.scan(body, valid_sorted, jnp.arange(nb))
+    return order, keep[:n]
 
 
 def batched_nms_padded(
