@@ -82,3 +82,8 @@ class EvalConfig:
     # by top-k before cross-scale NMS, and max final detections.
     max_dets_per_scale: int = 1000
     max_total_dets: int = 750
+    # Compute the 2x pyramid level's stem at 1x resolution by folding the
+    # exact-2.0 bilinear upsample into conv1 (ops/stemfold.py): never
+    # materializes the 2x canvas. Border-exact; interior differs from
+    # resize+conv only in fp summation order.
+    fold_stem: bool = True

@@ -37,6 +37,7 @@ from tinyfaces_tpu.data.wider_face import MEAN_PIXEL
 from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
 from tinyfaces_tpu.ops.decode import decode_scores, valid_template_mask
 from tinyfaces_tpu.ops.nms import batched_nms_padded
+from tinyfaces_tpu.ops.stemfold import folded_stem_2x
 
 try:
     from PIL import Image
@@ -232,8 +233,29 @@ class PyramidDetector:
                         method="linear", antialias=True,
                     )
 
-                xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
-                out = model.apply(variables, xs, train=False)
+                if f == 1.0 and (thp, twp) == (h0p, w0p):
+                    # scale_and_translate at scale 1, translate 0 is exactly
+                    # the identity (the linear kernel hits integer offsets:
+                    # weight 1 on one pixel, 0 elsewhere — for every image in
+                    # the batch, since th_v == h0 always at f=1), but it is
+                    # implemented as two real weight-matrix contractions per
+                    # image. Skip it: bit-exact, saves the second-largest
+                    # resize stage in the fused program.
+                    out = model.apply(variables, x0, train=False)
+                elif (self.ec.fold_stem and f == 2.0
+                      and (thp, twp) == (2 * h0p, 2 * w0p)):
+                    # The 2x level's resize factor is exactly 2.0 for every
+                    # image (an integer short side h resizes to floor(2h) =
+                    # 2h), so the upsample folds into conv1: the stem runs at
+                    # 1x resolution and the (2H, 2W, 3) canvas — the largest
+                    # tensor in this program — is never materialized.
+                    stem = folded_stem_2x(
+                        x0, variables["params"]["backbone"]["conv1"]["kernel"])
+                    out = model.apply(variables, stem, train=False,
+                                      stem_precomputed=True)
+                else:
+                    xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
+                    out = model.apply(variables, xs, train=False)
 
                 st = int(stride)
                 hm_h = (th_v + st - 1) // st

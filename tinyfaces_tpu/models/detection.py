@@ -95,11 +95,12 @@ class TinyFacesDetector(nn.Module):
         return (self.num_objects + 4) * self.num_templates
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 stem_precomputed: bool = False) -> jnp.ndarray:
         res3, res4 = ResNetBackbone(
             stage_sizes=self.stage_sizes, dtype=self.dtype, remat=self.remat,
             name="backbone",
-        )(x, train)
+        )(x, train, stem_precomputed=stem_precomputed)
 
         head = lambda name: nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

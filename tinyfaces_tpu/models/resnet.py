@@ -94,7 +94,8 @@ class ResNetBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 stem_precomputed: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(
             nn.BatchNorm,
@@ -106,7 +107,12 @@ class ResNetBackbone(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), name="conv1")(x)
+        if not stem_precomputed:
+            x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                     name="conv1")(x)
+        # else: x is already the conv1 output — the fused pyramid's folded-2x
+        # stem (ops/stemfold.py) computes it at 1x resolution, composing the
+        # exact-2x bilinear upsample with conv1 into one 5x5 stride-1 conv.
         x = nn.relu(norm(name="bn1")(x))
         x = max_pool_3x3_s2(x)
 
