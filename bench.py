@@ -78,7 +78,10 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
-    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    # The shared link's bandwidth swings several-x between 10 s windows
+    # (docs/PERF.md); 5 windows keeps the median stable under one outlier
+    # in each direction at ~2 min total.
+    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     rates = []
     for _ in range(windows):
         q = collections.deque()

@@ -253,7 +253,12 @@ def test_pyramid_detector_spatial_sharding_matches_unsharded():
     d1 = sp.detect(img, **kw)
     assert d0.shape == d1.shape
     if d0.shape[0]:
-        np.testing.assert_allclose(d1, d0, atol=1e-3)
+        # The sharded and unsharded programs are separate XLA compilations
+        # with different fusion boundaries, so agreement is fp32-rounding
+        # relative, not bitwise — and random-init weights push regressed box
+        # coords to ~1e13 via exp(), where any absolute tolerance is
+        # meaningless.
+        np.testing.assert_allclose(d1, d0, rtol=1e-4, atol=1e-3)
 
 
 def test_choose_eval_sharding_auto():
