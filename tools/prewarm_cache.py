@@ -1,0 +1,144 @@
+"""Prewarm the persistent XLA compilation cache on a fresh VM.
+
+Remote-attached TPUs compile through a tunnel: the fused batch-16 pyramid
+alone takes 400-900 s cold, the train step ~400 s (docs/PERF.md). The
+on-disk cache (~/.cache/tinyfaces_tpu_xla) makes reruns ~20 s, but it
+starts EMPTY on a fresh session VM — the first production run (or the
+benchmark harness) then spends its whole budget compiling.
+
+This tool compiles the standard program set once, ahead of time:
+
+  * fused pyramid, batch 16 and batch 1, 768x1024 canvas (the
+    bench.py / evaluate_model standard), yuv420 and/or rgb wire formats;
+  * the jitted train step, batch 12, 500x500, yuv420 and/or rgb input.
+
+Run it in the background right after the VM boots:
+
+    nohup python tools/prewarm_cache.py > /tmp/prewarm.log 2>&1 &
+
+Extra eval bucket shapes (one compile each) can be added with
+`--bucket HxW` (repeatable), matching the shapes evaluate_model's
+bucketing produces for your dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(f"[prewarm +{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+T0 = time.time()
+
+
+def warm_inference(transfer: str, buckets: list[tuple[int, int]]) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.evaluation import PyramidDetector, get_model
+
+    templates = load_templates()
+    model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
+    det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
+                          ec=EvalConfig(), transfer=transfer)
+    rng = np.random.default_rng(0)
+    for h, w in buckets:
+        # 32 = bench.py's default batch; 1 = the single-image latency path.
+        imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                for _ in range(32)]
+        det.detect_batch(imgs)
+        log(f"fused pyramid batch-32 {h}x{w} ({transfer}) compiled")
+        det.detect(imgs[0])
+        log(f"fused pyramid batch-1 {h}x{w} ({transfer}) compiled")
+
+
+def warm_train(transfer: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinyfaces_tpu.config import DetectorConfig, TrainConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.models.detection import TinyFacesDetector, init_model
+    from tinyfaces_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from tinyfaces_tpu.trainer import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = DetectorConfig()
+    tc = TrainConfig(batch_size=12)
+    templates = load_templates()
+    model = TinyFacesDetector(dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(tc, steps_per_epoch=1000)
+    state = replicate_tree(
+        create_train_state(model, params, batch_stats, tx), make_mesh())
+    step_fn = make_train_step(model, tx, cfg, templates)
+
+    rng = np.random.default_rng(0)
+    b = tc.batch_size
+    batch = {
+        "image": rng.integers(0, 255, (b, 500, 500, 3), dtype=np.uint8),
+        "gt_boxes": np.tile(
+            np.array([[20.0, 20.0, 80.0, 90.0]], np.float32), (b, cfg.max_gt, 1)),
+        "gt_valid": np.zeros((b, cfg.max_gt), bool),
+        "paste_box": np.tile(np.array([0, 0, 500, 500], np.float32), (b, 1)),
+        "flip": np.zeros(b, bool),
+    }
+    batch["gt_valid"][:, :2] = True
+    if transfer == "yuv420":
+        from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+        y, u, v = rgb_to_yuv420(batch.pop("image"))
+        batch.update(image_y=y, image_u=u, image_v=v)
+    state, lb = step_fn(state, shard_batch(batch, make_mesh()),
+                        jax.random.PRNGKey(1))
+    jax.block_until_ready(lb.total)
+    log(f"train step batch-12 500x500 ({transfer}) compiled "
+        f"(loss={float(lb.total):.2f})")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--transfer", choices=("both", "yuv420", "rgb"),
+                    default="yuv420",
+                    help="wire formats to warm (default: yuv420, the "
+                         "production/bench default)")
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--bucket", action="append", default=[],
+                    metavar="HxW",
+                    help="extra eval canvas bucket, e.g. --bucket 512x672 "
+                         "(repeatable; 768x1024 is always included)")
+    args = ap.parse_args()
+
+    from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
+
+    enable_compilation_cache()
+
+    buckets = [(768, 1024)]
+    for s in args.bucket:
+        h, w = s.lower().split("x")
+        if (int(h), int(w)) not in buckets:
+            buckets.append((int(h), int(w)))
+
+    transfers = ("yuv420", "rgb") if args.transfer == "both" else (args.transfer,)
+    if not args.skip_eval:
+        for t in transfers:
+            warm_inference(t, buckets)
+    if not args.skip_train:
+        for t in transfers:
+            warm_train(t)
+    log("cache warm")
+    clean_exit()
+
+
+if __name__ == "__main__":
+    main()
