@@ -19,6 +19,9 @@ def arguments(argv=None):
                         help="The path to the model checkpoint", default="")
     parser.add_argument("--prob_thresh", type=float, default=0.6)
     parser.add_argument("--nms_thresh", type=float, default=0.3)
+    parser.add_argument("--arch", default="resnet101",
+                        choices=("resnet101", "resnet50"),
+                        help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--output", default="",
                         help="save annotated image here instead of .show()")
 
@@ -44,7 +47,8 @@ def main():
     templates = load_templates()
     num_templates = templates.shape[0]
 
-    model, variables = get_model(args.checkpoint, num_templates=num_templates)
+    model, variables = get_model(args.checkpoint, num_templates=num_templates,
+                                 arch=args.arch)
     print("Loaded model", args.checkpoint)
 
     image = Image.open(args.image_path).convert("RGB")

@@ -24,6 +24,9 @@ def arguments(argv=None):
     parser.add_argument("--batch_size", default=1, type=int)
     parser.add_argument("--results_dir", default=None)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--arch", default="resnet101",
+                        choices=("resnet101", "resnet50"),
+                        help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (fp32 decode)")
     parser.add_argument("--eval-batch", type=int, default=8,
@@ -167,6 +170,7 @@ def main():
         args.checkpoint,
         num_templates=templates.shape[0],
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        arch=args.arch,
     )
 
     mesh = None

@@ -40,6 +40,9 @@ def arguments(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--pretrained-backbone", default="",
                         help="npz/pth with converted ImageNet ResNet-101 weights")
+    parser.add_argument("--arch", default="resnet101",
+                        choices=("resnet101", "resnet50"),
+                        help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (fp32 params)")
     parser.add_argument("--profile-dir", default="",
@@ -110,10 +113,13 @@ def main():
 
     import jax.numpy as jnp
 
+    from tinyfaces_tpu.models.resnet import ARCH_STAGES
+
     model = TinyFacesDetector(
         num_objects=1,
         num_templates=num_templates,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        stage_sizes=ARCH_STAGES[args.arch],
     )
     params, batch_stats = init_model(model, jax.random.PRNGKey(args.seed))
 

@@ -143,3 +143,32 @@ def test_full_depth_resnet101_conversion_parity():
         want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(jmodel.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=5e-4)
+
+
+def test_resnet50_conversion_parity():
+    """The --arch resnet50 backbone ((3, 4, 6) stages, reference
+    model.py:13's base_model knob): converted torch checkpoints drop in."""
+    torch.manual_seed(2)
+    tmodel = TorchTinyFaces(stages=(3, 4, 6))
+    tmodel.eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    sd = {("model." + k if not k.startswith("score") else k): v.numpy()
+          for k, v in tmodel.state_dict().items()}
+    converted = convert_state_dict(sd)
+    variables = {"params": converted["params"],
+                 "batch_stats": converted["batch_stats"]}
+
+    from tinyfaces_tpu.models.resnet import ARCH_STAGES
+
+    jmodel = TinyFacesDetector(stage_sizes=ARCH_STAGES["resnet50"])
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (1, 128, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(jmodel.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=5e-4)

@@ -48,12 +48,20 @@ def get_model(
     checkpoint: Optional[str | Path] = None,
     num_templates: int = 25,
     dtype=jnp.float32,
+    arch: str = "resnet101",
 ):
     """Build TinyFacesDetector and (optionally) load weights.
 
+    `arch` selects the backbone ("resnet101" | "resnet50"), mirroring the
+    reference's `base_model` knob (tinyfaces/models/model.py:13).
     Returns (model, variables) where variables = {params, batch_stats}.
     """
-    model = TinyFacesDetector(num_templates=num_templates, dtype=dtype)
+    from tinyfaces_tpu.models.resnet import ARCH_STAGES
+
+    model = TinyFacesDetector(
+        num_templates=num_templates, dtype=dtype,
+        stage_sizes=ARCH_STAGES[arch],
+    )
     params, batch_stats = init_model(model, jax.random.PRNGKey(0))
 
     if checkpoint:

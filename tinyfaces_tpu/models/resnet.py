@@ -30,6 +30,15 @@ from flax import linen as nn
 RESNET101_STAGES: Tuple[int, ...] = (3, 4, 23)
 RESNET50_STAGES: Tuple[int, ...] = (3, 4, 6)
 
+# Named backbones for the CLI `--arch` knob. The reference's DetectionModel
+# exposes the same capability as a `base_model` constructor argument
+# (tinyfaces/models/model.py:13, default torchvision resnet101); any
+# torchvision bottleneck ResNet drops in because only stage depths differ.
+ARCH_STAGES: dict = {
+    "resnet101": RESNET101_STAGES,
+    "resnet50": RESNET50_STAGES,
+}
+
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     """3x3/2 max pool with pad 1, matching torch MaxPool2d(3, 2, 1)."""
