@@ -59,3 +59,8 @@ parity-run:
 parity-run-smoke:
 	$(PYTHON) tools/parity_run.py --dataset-root /tmp/parity_smoke \
 	  --synthetic 12 --ab-images 3
+
+# Compile the standard program set into the persistent XLA cache (run once
+# per fresh machine, before the first production run or benchmark).
+prewarm:
+	$(PYTHON) tools/prewarm_cache.py --transfer both

@@ -30,6 +30,9 @@ class DetectionService:
     def __init__(
         self,
         detector: PyramidDetector,
+        # Throughput rises ~10% from 16 -> 32 and ~19% -> 64 by amortizing
+        # per-dispatch overhead (docs/PERF.md batch-scaling table), at
+        # proportionally higher per-batch latency; 16 favors p50 latency.
         max_batch: int = 16,
         max_delay_ms: float = 25.0,
         scales: Optional[Sequence[int]] = None,
