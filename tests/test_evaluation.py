@@ -199,3 +199,36 @@ def test_yuv420_transfer_matches_rgb_detections():
     color = rng.integers(0, 255, (96, 160, 3), dtype=np.uint8)
     out = det_yuv.detect(color, prob_thresh=0.05, scales=(0,))
     assert out.ndim == 2 and out.shape[1] == 5
+
+
+def test_pyramid_level_sizes_exact_for_large_images():
+    """Per-level resize targets are computed in exact integer arithmetic.
+
+    The reference computes them in Python float64 (evaluation.py:42-47 +
+    torchvision F.resize truncation); an fp32 version loses integrality
+    above 2^24 — e.g. 8105*2073*2 gave 16209 instead of 16210 — which would
+    silently break the fused pyramid's exact-scale fast paths (identity
+    skip at f=1, folded stem at f=2)."""
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.evaluation import pyramid_level_sizes
+
+    cases = [(95, 117), (768, 1024), (2073, 8105), (8105, 2073),
+             (4999, 9973), (1, 7), (31, 31)]
+    for sexp in (-2, -1, 0, 1):
+        f = 2.0 ** sexp
+        for h, w in cases:
+            # float64 reference semantics (torchvision F.resize(int))
+            tshort = int(min(h, w) * f)
+            if h <= w:
+                want = (tshort, int(tshort * w / h) if h else 0)
+            else:
+                want = (int(tshort * h / w), tshort)
+            th, tw = pyramid_level_sizes(
+                jnp.int32(h), jnp.int32(w), sexp)
+            assert (int(th), int(tw)) == want, (h, w, sexp)
+            if sexp == 1:
+                # the folded stem's exact-2.0 precondition
+                assert (int(th), int(tw)) == (2 * h, 2 * w)
+            if sexp == 0:
+                assert (int(th), int(tw)) == (h, w)

@@ -2,9 +2,10 @@
 composed with the 7x7/2 stem conv equals one 5x5/1 conv at 1x resolution.
 
 Pinned against the unfolded ops the fused pyramid otherwise runs
-(jax.image.scale_and_translate + lax conv, evaluation.py): borders must be
-bit-identical (same op sequence on bands), interior within accumulation
-rounding.
+(jax.image.scale_and_translate + lax conv, evaluation.py): borders at
+fp32-rounding level (identical linear operator via band recomputation;
+only the band resize's matmul contraction size differs), interior within
+summation-order rounding.
 """
 
 import jax
@@ -105,7 +106,7 @@ def test_folded_equals_unfolded_bf16_tolerance():
     np.testing.assert_allclose(got, ref, atol=0.03 * scale)
 
 
-def test_fused_pyramid_detections_match_with_fold(detector_pair=None):
+def test_fused_pyramid_detections_match_with_fold():
     """End-to-end: the fused pyramid with fold_stem on/off produces the same
     detection set (fp32, CPU)."""
     from tinyfaces_tpu.config import DetectorConfig, EvalConfig
@@ -130,5 +131,33 @@ def test_fused_pyramid_detections_match_with_fold(detector_pair=None):
     # Same survivors, near-identical geometry/scores. Random-init weights +
     # prob_thresh=-2 produce arbitrarily large regressed boxes, so compare
     # relatively (fold-vs-unfold differs only in fp summation order).
+    np.testing.assert_allclose(a[:, :4], b[:, :4], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-4, atol=1e-3)
+
+
+def test_fused_pyramid_fold_ragged_image():
+    """Fold equivalence for an image that does NOT fill its padded canvas
+    (h0 < h0p): the per-image resize factor is still exactly 2.0 (integer
+    short side), and the image/padding seam is interior to the canvas, so
+    the folded path must match there too."""
+    from tinyfaces_tpu.config import DetectorConfig, EvalConfig
+    from tinyfaces_tpu.data import load_templates
+    from tinyfaces_tpu.evaluation import PyramidDetector, get_model
+
+    templates = load_templates()
+    model, variables = get_model(num_templates=25)
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 255, (95, 117, 3), dtype=np.uint8)  # odd, < canvas
+
+    dets = {}
+    for fold in (False, True):
+        det = PyramidDetector(
+            model, variables, templates, cfg=DetectorConfig(),
+            ec=EvalConfig(prob_thresh=-2.0, fold_stem=fold),
+        )
+        dets[fold] = det.detect(img)
+
+    a, b = dets[False], dets[True]
+    assert a.shape == b.shape
     np.testing.assert_allclose(a[:, :4], b[:, :4], rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-4, atol=1e-3)

@@ -44,6 +44,29 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+def pyramid_level_sizes(h0, w0, sexp: int):
+    """Per-image resize target (th, tw) for pyramid level f = 2**sexp.
+
+    Reference sizing (evaluation.py:42-47 + torchvision F.resize(int)):
+    shorter side -> int(min_side * f), longer side int(t_short * long /
+    short) — float64 truncation. Computed here in EXACT integer
+    arithmetic: f is a power of two, so floor(min * f) is a shift, and the
+    long side is an integer division (equal to float64 truncation for any
+    dims < 2^15, since the quotient error (long-r)/long >= 1/long can never
+    cross the half-ulp ~t*2^-53 needed to flip the truncation). fp32 here
+    would lose integrality above 2^24 (e.g. 8105*2073 at f=2 gave 16209,
+    not 16210), silently breaking the exact-scale assumption of the
+    identity-skip and folded-stem fast paths in the fused pyramid.
+
+    h0, w0: int32 scalars or arrays (original image sizes).
+    """
+    mins = jnp.minimum(h0, w0)
+    tshort = (mins << sexp) if sexp >= 0 else (mins >> (-sexp))
+    th = jnp.where(h0 <= w0, tshort, (h0 * tshort) // w0)
+    tw = jnp.where(h0 <= w0, (w0 * tshort) // h0, tshort)
+    return th, tw
+
+
 def get_model(
     checkpoint: Optional[str | Path] = None,
     num_templates: int = 25,
@@ -210,7 +233,6 @@ class PyramidDetector:
                 b = images_in.shape[0]
                 # normalize commutes with resize
                 x0 = normalize_images(images_in, dtype=self.model.dtype)
-            min0 = jnp.minimum(h0, w0).astype(jnp.float32)
             k = self.ec.max_dets_per_scale
 
             all_b, all_s, all_v = [], [], []
@@ -218,17 +240,11 @@ class PyramidDetector:
                 f = 2.0**s
                 thp = _round_up_mult(int(round(h0p * f)), 32)
                 twp = _round_up_mult(int(round(w0p * f)), 32)
-                # Reference sizing (evaluation.py:42-47 + torchvision
-                # F.resize(int)): shorter side -> int(min_side * f), longer
-                # side int(size * long / short) — truncation, matching the
-                # host-resize path exactly.
-                tshort = jnp.floor(min0 * f)
-                th_v = jnp.where(
-                    h0 <= w0, tshort, jnp.floor(h0.astype(jnp.float32) * tshort / w0)
-                ).astype(jnp.int32)
-                tw_v = jnp.where(
-                    h0 <= w0, jnp.floor(w0.astype(jnp.float32) * tshort / h0), tshort
-                ).astype(jnp.int32)
+                sexp = int(s)  # pyramid exponent: f = 2**sexp
+                if sexp != s:
+                    raise ValueError(
+                        f"pyramid scales must be integer octaves, got {s!r}")
+                th_v, tw_v = pyramid_level_sizes(h0, w0, sexp)
                 th_v = jnp.clip(th_v, 1, thp)
                 tw_v = jnp.clip(tw_v, 1, twp)
 

@@ -8,8 +8,10 @@ benchmark harness) then spends its whole budget compiling.
 
 This tool compiles the standard program set once, ahead of time:
 
-  * fused pyramid, batch 16 and batch 1, 768x1024 canvas (the
-    bench.py / evaluate_model standard), yuv420 and/or rgb wire formats;
+  * fused pyramid at each `--batch` size (default 32 = bench.py's default,
+    plus 1 = the single-image latency path), 768x1024 canvas, yuv420
+    and/or rgb wire formats — add `--batch 16` if you serve with
+    DetectionService's default max_batch=16;
   * the jitted train step, batch 12, 500x500, yuv420 and/or rgb input.
 
 Run it in the background right after the VM boots:
@@ -36,7 +38,8 @@ def log(msg: str) -> None:
 T0 = time.time()
 
 
-def warm_inference(transfer: str, buckets: list[tuple[int, int]]) -> None:
+def warm_inference(transfer: str, buckets: list[tuple[int, int]],
+                   batches: list[int]) -> None:
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,13 +53,14 @@ def warm_inference(transfer: str, buckets: list[tuple[int, int]]) -> None:
                           ec=EvalConfig(), transfer=transfer)
     rng = np.random.default_rng(0)
     for h, w in buckets:
-        # 32 = bench.py's default batch; 1 = the single-image latency path.
         imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-                for _ in range(32)]
-        det.detect_batch(imgs)
-        log(f"fused pyramid batch-32 {h}x{w} ({transfer}) compiled")
-        det.detect(imgs[0])
-        log(f"fused pyramid batch-1 {h}x{w} ({transfer}) compiled")
+                for _ in range(max(batches))]
+        for b in batches:
+            if b == 1:
+                det.detect(imgs[0])
+            else:
+                det.detect_batch(imgs[:b])
+            log(f"fused pyramid batch-{b} {h}x{w} ({transfer}) compiled")
 
 
 def warm_train(transfer: str) -> None:
@@ -117,6 +121,10 @@ def main() -> None:
                     metavar="HxW",
                     help="extra eval canvas bucket, e.g. --bucket 512x672 "
                          "(repeatable; 768x1024 is always included)")
+    ap.add_argument("--batch", action="append", type=int, default=[],
+                    metavar="B",
+                    help="extra fused-pyramid batch size (repeatable; "
+                         "32 and 1 are always included)")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
@@ -129,10 +137,12 @@ def main() -> None:
         if (int(h), int(w)) not in buckets:
             buckets.append((int(h), int(w)))
 
+    batches = sorted({32, 1, *args.batch}, reverse=True)
+
     transfers = ("yuv420", "rgb") if args.transfer == "both" else (args.transfer,)
     if not args.skip_eval:
         for t in transfers:
-            warm_inference(t, buckets)
+            warm_inference(t, buckets, batches)
     if not args.skip_train:
         for t in transfers:
             warm_train(t)
