@@ -116,9 +116,9 @@ def main():
         f"last image produced {dets.shape[0]} detections",
         file=sys.stderr,
     )
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()
 
 
 if __name__ == "__main__":

@@ -32,6 +32,31 @@ WINDOWS = 5
 STEPS_PER_WINDOW = 8
 
 
+def make_synthetic_train_batch(rng, batch: int, cfg, n_boxes: int = 40) -> dict:
+    """Synthetic WIDER-like train batch (500x500 canvas, n_boxes GT faces)
+    in the exact schema the Trainer consumes. Shared by bench_train.py and
+    tools/train_bench.py so both benchmarks measure the identical workload.
+    Draw order is part of the contract (same rng -> same batches)."""
+    import numpy as np
+
+    x1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
+    y1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
+    gt = np.zeros((batch, cfg.max_gt, 4), np.float32)
+    gt[:, :n_boxes, 0] = x1
+    gt[:, :n_boxes, 1] = y1
+    gt[:, :n_boxes, 2] = x1 + rng.uniform(8, 80, (batch, n_boxes))
+    gt[:, :n_boxes, 3] = y1 + rng.uniform(8, 80, (batch, n_boxes))
+    valid = np.zeros((batch, cfg.max_gt), bool)
+    valid[:, :n_boxes] = True
+    return {
+        "image": rng.integers(0, 255, (batch, 500, 500, 3), dtype=np.uint8),
+        "gt_boxes": gt,
+        "gt_valid": valid,
+        "paste_box": np.tile(np.array([0, 0, 500, 500], np.float32), (batch, 1)),
+        "flip": rng.random(batch) > 0.5,
+    }
+
+
 def main():
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
 
@@ -64,25 +89,9 @@ def main():
     step_fn = make_train_step(model, tx, cfg, templates)
 
     rng = np.random.default_rng(0)
-    n_boxes = 40
 
     def make_batch():
-        x1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
-        y1 = rng.uniform(0, 420, (batch, n_boxes)).astype(np.float32)
-        gt = np.zeros((batch, cfg.max_gt, 4), np.float32)
-        gt[:, :n_boxes, 0] = x1
-        gt[:, :n_boxes, 1] = y1
-        gt[:, :n_boxes, 2] = x1 + rng.uniform(8, 80, (batch, n_boxes))
-        gt[:, :n_boxes, 3] = y1 + rng.uniform(8, 80, (batch, n_boxes))
-        valid = np.zeros((batch, cfg.max_gt), bool)
-        valid[:, :n_boxes] = True
-        return {
-            "image": rng.integers(0, 255, (batch, 500, 500, 3), dtype=np.uint8),
-            "gt_boxes": gt,
-            "gt_valid": valid,
-            "paste_box": np.tile(np.array([0, 0, 500, 500], np.float32), (batch, 1)),
-            "flip": rng.random(batch) > 0.5,
-        }
+        return make_synthetic_train_batch(rng, batch, cfg)
 
     transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
     if transfer == "yuv420":
@@ -139,9 +148,9 @@ def main():
         f"loss={float(jax.device_get(lb.total)):.1f}",
         file=sys.stderr,
     )
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()
 
 
 if __name__ == "__main__":

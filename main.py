@@ -175,11 +175,29 @@ def main():
 
     signal.signal(signal.SIGTERM, _request_stop)
 
+    def stop_agreed() -> bool:
+        """Multi-host: agree on the stop decision at the epoch boundary.
+
+        SIGTERM may be delivered to only some processes (a scheduler
+        killing one task); with a per-process flag those would break out
+        of the loop while the rest enter the next epoch's collectives and
+        deadlock on the missing participants. A tiny allgather makes any
+        single process's signal stop every process at the same boundary.
+        """
+        if jax.process_count() == 1:
+            return stop_requested["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(stop_requested["flag"], np.int32))
+        return bool(np.asarray(flags).any())
+
     for epoch in range(start_epoch, args.epochs):
         with trace(args.profile_dir if epoch == start_epoch else None):
             state = trainer.train_epoch(
                 state, train_dataset, epoch, log_every=args.log_every
             )
+        stop_requested["flag"] = stop_agreed()
         if (epoch + 1) % args.save_every == 0 or stop_requested["flag"]:
             # State is fully replicated; one writer (process 0) suffices.
             if jax.process_index() == 0:

@@ -114,8 +114,10 @@ class PrefetchLoader:
             idxs = idxs[self.rank * per : (self.rank + 1) * per]
         return idxs
 
-    def __iter__(self) -> Iterator[dict]:
-        order = self._begin_epoch()
+    def _pipeline(self, order: np.ndarray, load_fn) -> Iterator[dict]:
+        """Producer-thread scaffolding shared by every loader variant: a
+        bounded queue of collated batches, worker-pool loading via
+        `load_fn(index)`, and exception forwarding to the consumer."""
         nb = len(self)
         if nb == 0:
             return
@@ -126,16 +128,14 @@ class PrefetchLoader:
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for b in range(nb):
-                        idxs = self._batch_indices(order, b)
-                        items = list(pool.map(self._load_one, [int(i) for i in idxs]))
-                        q.put(_collate(items))
+                        idxs = [int(i) for i in self._batch_indices(order, b)]
+                        q.put(_collate(list(pool.map(load_fn, idxs))))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
                 return
             q.put(_STOP)
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        threading.Thread(target=produce, daemon=True).start()
 
         while True:
             item = q.get()
@@ -144,6 +144,9 @@ class PrefetchLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def __iter__(self) -> Iterator[dict]:
+        return self._pipeline(self._begin_epoch(), self._load_one)
 
 
 class NativePrefetchLoader(PrefetchLoader):
@@ -157,10 +160,6 @@ class NativePrefetchLoader(PrefetchLoader):
         from tinyfaces_tpu.data import native
 
         order = self._begin_epoch()
-        nb = len(self)
-        if nb == 0:
-            return
-
         cfg = self.dataset.cfg
         # Same (seed, epoch)-derived scheme as the Python path so the native
         # loader is reproducible per epoch too.
@@ -169,7 +168,6 @@ class NativePrefetchLoader(PrefetchLoader):
                 np.random.SeedSequence((self.seed, self.epoch - 1, 0xC0FFEE))
             ).integers(0, 2**62)
         )
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def decode_and_augment(i: int):
             sample = self.dataset.samples[i]
@@ -181,24 +179,4 @@ class NativePrefetchLoader(PrefetchLoader):
             )
             return _pack_yuv(item) if self.pack == "yuv420" else item
 
-        def produce():
-            try:
-                with ThreadPoolExecutor(self.workers) as pool:
-                    for b in range(nb):
-                        idxs = [int(i) for i in self._batch_indices(order, b)]
-                        q.put(_collate(list(pool.map(decode_and_augment, idxs))))
-            except BaseException as e:
-                q.put(e)
-                return
-            q.put(_STOP)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-
-        while True:
-            item = q.get()
-            if item is _STOP:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        return self._pipeline(order, decode_and_augment)

@@ -56,8 +56,9 @@ def main():
     dt = (time.time() - t0) / 4
     print(f"4x9MB async puts: {36/dt:.0f} MiB/s ({dt*1e3:.0f} ms)", flush=True)
 
-    sys.stdout.flush()
-    os._exit(0)
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()
 
 
 if __name__ == "__main__":

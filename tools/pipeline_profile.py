@@ -104,8 +104,9 @@ def main():
         print(f"pipelined depth={depth}: {dt/iters*1e3:.1f} ms/batch "
               f"-> {iters*B/dt:.1f} img/s", flush=True)
 
-    sys.stdout.flush()
-    os._exit(0)
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()
 
 
 if __name__ == "__main__":

@@ -66,25 +66,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    from bench_train import make_synthetic_train_batch
+
     def make_batch():
-        b = args.batch
-        n_boxes = 40
-        x1 = rng.uniform(0, 420, (b, n_boxes)).astype(np.float32)
-        y1 = rng.uniform(0, 420, (b, n_boxes)).astype(np.float32)
-        gt = np.zeros((b, cfg.max_gt, 4), np.float32)
-        gt[:, :n_boxes, 0] = x1
-        gt[:, :n_boxes, 1] = y1
-        gt[:, :n_boxes, 2] = x1 + rng.uniform(8, 80, (b, n_boxes))
-        gt[:, :n_boxes, 3] = y1 + rng.uniform(8, 80, (b, n_boxes))
-        valid = np.zeros((b, cfg.max_gt), bool)
-        valid[:, :n_boxes] = True
-        return {
-            "image": rng.integers(0, 255, (b, 500, 500, 3), dtype=np.uint8),
-            "gt_boxes": gt,
-            "gt_valid": valid,
-            "paste_box": np.tile(np.array([0, 0, 500, 500], np.float32), (b, 1)),
-            "flip": rng.random(b) > 0.5,
-        }
+        return make_synthetic_train_batch(rng, args.batch, cfg)
 
     key = jax.random.PRNGKey(1)
     dtype = ("bf16" if args.bf16 else "fp32") + ("/fastmm" if args.fast_precision else "")
