@@ -232,3 +232,18 @@ def test_pyramid_level_sizes_exact_for_large_images():
                 assert (int(th), int(tw)) == (2 * h, 2 * w)
             if sexp == 0:
                 assert (int(th), int(tw)) == (h, w)
+
+
+def test_get_model_arch_resnet50():
+    """--arch resnet50 wiring: get_model builds the (3,4,6)-stage backbone
+    and the detector produces the same output grid as resnet101 (the head
+    geometry is stage-count independent)."""
+    import jax.numpy as jnp
+
+    from tinyfaces_tpu.evaluation import get_model
+
+    model, variables = get_model(num_templates=25, arch="resnet50")
+    assert tuple(model.stage_sizes) == (3, 4, 6)
+    x = jnp.zeros((1, 96, 128, 3), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 12, 16, 125)
