@@ -174,6 +174,11 @@ def main():
     )
 
     mesh = None
+    if args.shard != "batch" and not args.data_parallel:
+        raise SystemExit(
+            f"--shard {args.shard} requires --data-parallel (without a "
+            f"device mesh there is nothing to shard over)"
+        )
     if args.data_parallel:
         import jax
 

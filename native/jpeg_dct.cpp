@@ -1,0 +1,375 @@
+// Baseline-JPEG entropy decoder: JPEG bytes -> quantized DCT coefficients.
+//
+// The DCT-domain wire format's host half (SURVEY.md perf plan; replaces the
+// host-side full PIL decode the reference performs per image,
+// tinyfaces/datasets/wider_face.py:197-199). Only the cheap, serial part of
+// JPEG decoding — marker parsing + Huffman entropy decode — runs on the
+// host; dequantization, the 8x8 IDCT (MXU matmuls), chroma upsampling and
+// normalization all run on the TPU fused into the pyramid program
+// (tinyfaces_tpu/ops/jpeg.py). Shipping quantized coefficients instead of
+// pixels cuts H2D bytes ~2-4x below even YUV420 (docs/PERF.md).
+//
+// Scope: baseline + extended sequential Huffman (SOF0/SOF1), grayscale or
+// YCbCr with 4:2:0 / 4:2:2 / 4:4:4 sampling, restart intervals, 8/16-bit
+// quant tables. Progressive (SOF2) and arithmetic coding return an error;
+// the Python caller transcodes those through PIL (data/jpegdct.py).
+//
+// This is an independent implementation from the JPEG spec (ITU T.81);
+// no code is derived from libjpeg.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int ERR_TRUNCATED = -1;
+constexpr int ERR_BAD_MARKER = -2;
+constexpr int ERR_UNSUPPORTED = -3;  // progressive / arithmetic / CMYK...
+constexpr int ERR_BAD_HUFFMAN = -4;
+constexpr int ERR_BAD_SAMPLING = -5;
+constexpr int ERR_BUFFER = -6;
+
+struct HuffTable {
+  // Canonical Huffman per T.81 C.2: mincode/maxcode/valptr indexed by length.
+  int32_t mincode[17];
+  int32_t maxcode[17];  // -1 when no codes of this length
+  int32_t valptr[17];
+  uint8_t vals[256];
+  bool defined = false;
+};
+
+struct Component {
+  int id = 0;
+  int hs = 1, vs = 1;   // sampling factors
+  int tq = 0;           // quant table id
+  int td = 0, ta = 0;   // DC/AC huffman table ids
+  int pred = 0;         // DC predictor
+  int nbx = 0, nby = 0; // block-grid dims (component resolution)
+  int16_t* out = nullptr;
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t acc = 0;
+  int nbits = 0;
+  bool marker_hit = false;  // hit a non-RST marker (end of scan)
+  int err = 0;
+
+  BitReader(const uint8_t* p_, const uint8_t* end_) : p(p_), end(end_) {}
+
+  // Loads one byte, handling 0xFF00 stuffing. On a real marker, stops
+  // feeding bits (decoder treats further reads as zero bits + err).
+  bool fill() {
+    if (p >= end) { err = ERR_TRUNCATED; return false; }
+    uint8_t b = *p;
+    if (b == 0xFF) {
+      if (p + 1 >= end) { err = ERR_TRUNCATED; return false; }
+      uint8_t b2 = p[1];
+      if (b2 == 0x00) { p += 2; }
+      else { marker_hit = true; return false; }  // RSTn or EOI etc.
+    } else {
+      ++p;
+    }
+    acc = (acc << 8) | b;
+    nbits += 8;
+    return true;
+  }
+
+  int bit() {
+    if (nbits == 0 && !fill()) return 0;
+    --nbits;
+    return (acc >> nbits) & 1;
+  }
+
+  int bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+
+  // Byte-align and consume an expected RSTn marker (D0-D7).
+  bool restart() {
+    nbits = 0;
+    acc = 0;
+    marker_hit = false;
+    if (p + 1 >= end) { err = ERR_TRUNCATED; return false; }
+    if (p[0] != 0xFF || p[1] < 0xD0 || p[1] > 0xD7) {
+      err = ERR_BAD_MARKER;
+      return false;
+    }
+    p += 2;
+    return true;
+  }
+};
+
+int huff_decode(BitReader& br, const HuffTable& t) {
+  int code = 0;
+  for (int l = 1; l <= 16; ++l) {
+    code = (code << 1) | br.bit();
+    if (t.maxcode[l] >= 0 && code <= t.maxcode[l])
+      return t.vals[t.valptr[l] + code - t.mincode[l]];
+  }
+  br.err = ERR_BAD_HUFFMAN;
+  return 0;
+}
+
+// T.81 F.2.2.1 EXTEND: map magnitude bits to signed value.
+inline int extend(int v, int t) {
+  if (t == 0) return 0;
+  return (v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+void build_huff(HuffTable& t, const uint8_t* counts /*1..16*/,
+                const uint8_t* vals, int nvals) {
+  std::memcpy(t.vals, vals, nvals);
+  int code = 0, k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    t.valptr[l] = k;
+    t.mincode[l] = code;
+    code += counts[l - 1];
+    k += counts[l - 1];
+    t.maxcode[l] = counts[l - 1] ? code - 1 : -1;
+    code <<= 1;
+  }
+  t.defined = true;
+}
+
+struct Parser {
+  const uint8_t* data = nullptr;
+  long len = 0;
+  long pos = 0;
+
+  Parser(const uint8_t* d, long l) : data(d), len(l) {}
+
+  int h = 0, w = 0, ncomp = 0;
+  bool progressive = false, arithmetic = false;
+  int restart_interval = 0;
+  Component comp[3];
+  uint16_t qtab[4][64] = {};
+  HuffTable hdc[4], hac[4];
+  long scan_pos = -1;  // entropy data start
+
+  int u8() { return pos < len ? data[pos++] : (pos = len + 1, 0); }
+  int u16() { int a = u8(); return (a << 8) | u8(); }
+  bool ok() const { return pos <= len; }
+
+  // Parses headers up to (and including) SOS. Returns 0 or error.
+  int parse() {
+    if (u16() != 0xFFD8) return ERR_BAD_MARKER;  // SOI
+    while (true) {
+      int b = u8();
+      if (!ok()) return ERR_TRUNCATED;
+      if (b != 0xFF) continue;  // tolerate fill bytes
+      int m = u8();
+      while (m == 0xFF) m = u8();  // fill bytes before marker
+      if (!ok()) return ERR_TRUNCATED;
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;  // no payload
+      if (m == 0xD9) return ERR_TRUNCATED;                  // EOI before SOS
+      long seg_len = u16();
+      long seg_end = pos + seg_len - 2;
+      if (seg_len < 2 || seg_end > len) return ERR_TRUNCATED;
+      switch (m) {
+        case 0xC0: case 0xC1: case 0xC2: {  // SOF0/1/2
+          progressive = (m == 0xC2);
+          if (u8() != 8) return ERR_UNSUPPORTED;  // precision
+          h = u16(); w = u16();
+          ncomp = u8();
+          if (ncomp != 1 && ncomp != 3) return ERR_UNSUPPORTED;
+          for (int c = 0; c < ncomp; ++c) {
+            comp[c].id = u8();
+            int hv = u8();
+            comp[c].hs = hv >> 4;
+            comp[c].vs = hv & 15;
+            comp[c].tq = u8();
+            if (comp[c].hs < 1 || comp[c].hs > 2 || comp[c].vs < 1 ||
+                comp[c].vs > 2 || comp[c].tq > 3)
+              return ERR_BAD_SAMPLING;
+          }
+          if (ncomp == 3 && (comp[1].hs != 1 || comp[1].vs != 1 ||
+                             comp[2].hs != 1 || comp[2].vs != 1))
+            return ERR_BAD_SAMPLING;  // chroma must be 1x1
+          break;
+        }
+        case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+        case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
+          return ERR_UNSUPPORTED;  // lossless / arithmetic / differential
+        case 0xC4: {  // DHT (possibly several tables per segment)
+          while (pos < seg_end) {
+            int tc_th = u8();
+            int tc = tc_th >> 4, th = tc_th & 15;
+            if (tc > 1 || th > 3) return ERR_UNSUPPORTED;
+            uint8_t counts[16];
+            int nvals = 0;
+            for (int i = 0; i < 16; ++i) {
+              counts[i] = static_cast<uint8_t>(u8());
+              nvals += counts[i];
+            }
+            if (nvals > 256 || pos + nvals > seg_end + 1) return ERR_TRUNCATED;
+            uint8_t vals[256];
+            for (int i = 0; i < nvals; ++i) vals[i] = static_cast<uint8_t>(u8());
+            build_huff(tc ? hac[th] : hdc[th], counts, vals, nvals);
+          }
+          break;
+        }
+        case 0xDB: {  // DQT
+          while (pos < seg_end) {
+            int pq_tq = u8();
+            int pq = pq_tq >> 4, tq = pq_tq & 15;
+            if (tq > 3 || pq > 1) return ERR_UNSUPPORTED;
+            for (int i = 0; i < 64; ++i)
+              qtab[tq][i] = static_cast<uint16_t>(pq ? u16() : u8());
+          }
+          break;
+        }
+        case 0xDD:  // DRI
+          restart_interval = u16();
+          break;
+        case 0xDA: {  // SOS
+          if (progressive) return ERR_UNSUPPORTED;
+          int ns = u8();
+          if (ns != ncomp) return ERR_UNSUPPORTED;  // must be interleaved
+          for (int i = 0; i < ns; ++i) {
+            int cid = u8();
+            int tdta = u8();
+            for (int c = 0; c < ncomp; ++c)
+              if (comp[c].id == cid) {
+                comp[c].td = tdta >> 4;
+                comp[c].ta = tdta & 15;
+              }
+          }
+          u8(); u8(); u8();  // Ss, Se, Ah/Al (baseline: 0, 63, 0)
+          scan_pos = pos;
+          return ok() ? 0 : ERR_TRUNCATED;
+        }
+        default:  // APPn, COM, anything else: skip
+          break;
+      }
+      pos = seg_end;
+      if (!ok()) return ERR_TRUNCATED;
+    }
+  }
+};
+
+// Decode one 8x8 block into out[64] (zigzag order, quantized).
+inline bool decode_block(BitReader& br, Component& c, const HuffTable& dc,
+                         const HuffTable& ac, int16_t* out) {
+  int t = huff_decode(br, dc);
+  if (br.err) return false;
+  int diff = extend(br.bits(t), t);
+  c.pred += diff;
+  out[0] = static_cast<int16_t>(c.pred);
+  int k = 1;
+  while (k < 64) {
+    int rs = huff_decode(br, ac);
+    if (br.err) return false;
+    int r = rs >> 4, s = rs & 15;
+    if (s == 0) {
+      if (r == 15) { k += 16; continue; }  // ZRL
+      break;                               // EOB
+    }
+    k += r;
+    if (k > 63) { br.err = ERR_BAD_HUFFMAN; return false; }
+    out[k++] = static_cast<int16_t>(extend(br.bits(s), s));
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// info out (8 ints): h, w, ncomp, y_hsamp, y_vsamp, progressive,
+// restart_interval, reserved. Returns 0 or negative error.
+int tf_jpeg_info(const uint8_t* data, long len, int32_t* info) {
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc == ERR_UNSUPPORTED && ps.h > 0) {
+    // dims were parsed before the unsupported feature: still report them
+    info[0] = ps.h; info[1] = ps.w; info[2] = ps.ncomp;
+    info[3] = ps.comp[0].hs; info[4] = ps.comp[0].vs;
+    info[5] = ps.progressive ? 1 : 0;
+    info[6] = ps.restart_interval; info[7] = 0;
+    return rc;
+  }
+  if (rc) return rc;
+  info[0] = ps.h; info[1] = ps.w; info[2] = ps.ncomp;
+  info[3] = ps.comp[0].hs; info[4] = ps.comp[0].vs;
+  info[5] = ps.progressive ? 1 : 0;
+  info[6] = ps.restart_interval; info[7] = 0;
+  return 0;
+}
+
+// Entropy-decodes every component's quantized coefficients.
+//   coef0/1/2: per-component dense block buffers, (nby*nbx, 64) int16 each,
+//              ZIGZAG order, caller-zeroed and caller-sized; for ncomp==1
+//              coef1/2 may be null.
+//   qt_out: (ncomp, 64) uint16, zigzag order (component's table).
+//   grid_out (8 ints): nby0, nbx0, nby1, nbx1, nby2, nbx2, mcus_y, mcus_x.
+//   cap0/1/2: capacity (in blocks) of each coef buffer.
+// Returns 0 or negative error.
+int tf_jpeg_dct(const uint8_t* data, long len, int16_t* coef0, long cap0,
+                int16_t* coef1, long cap1, int16_t* coef2, long cap2,
+                uint16_t* qt_out, int32_t* grid_out) {
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc) return rc;
+
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < ps.ncomp; ++c) {
+    hmax = ps.comp[c].hs > hmax ? ps.comp[c].hs : hmax;
+    vmax = ps.comp[c].vs > vmax ? ps.comp[c].vs : vmax;
+  }
+  int mcus_x = (ps.w + 8 * hmax - 1) / (8 * hmax);
+  int mcus_y = (ps.h + 8 * vmax - 1) / (8 * vmax);
+
+  int16_t* bufs[3] = {coef0, coef1, coef2};
+  long caps[3] = {cap0, cap1, cap2};
+  for (int c = 0; c < ps.ncomp; ++c) {
+    Component& co = ps.comp[c];
+    co.nbx = mcus_x * co.hs;
+    co.nby = mcus_y * co.vs;
+    co.out = bufs[c];
+    if (!co.out || caps[c] < static_cast<long>(co.nby) * co.nbx)
+      return ERR_BUFFER;
+    if (!ps.hdc[co.td].defined || !ps.hac[co.ta].defined)
+      return ERR_BAD_HUFFMAN;
+    for (int i = 0; i < 64; ++i) qt_out[c * 64 + i] = ps.qtab[co.tq][i];
+    grid_out[2 * c] = co.nby;
+    grid_out[2 * c + 1] = co.nbx;
+  }
+  for (int c = ps.ncomp; c < 3; ++c) {
+    grid_out[2 * c] = 0;
+    grid_out[2 * c + 1] = 0;
+  }
+  grid_out[6] = mcus_y;
+  grid_out[7] = mcus_x;
+
+  BitReader br(data + ps.scan_pos, data + len);
+  long mcu_count = 0;
+  for (int my = 0; my < mcus_y; ++my) {
+    for (int mx = 0; mx < mcus_x; ++mx) {
+      if (ps.restart_interval && mcu_count &&
+          mcu_count % ps.restart_interval == 0) {
+        if (!br.restart()) return br.err;
+        for (int c = 0; c < ps.ncomp; ++c) ps.comp[c].pred = 0;
+      }
+      for (int c = 0; c < ps.ncomp; ++c) {
+        Component& co = ps.comp[c];
+        for (int v = 0; v < co.vs; ++v) {
+          for (int hh = 0; hh < co.hs; ++hh) {
+            long by = static_cast<long>(my) * co.vs + v;
+            long bx = static_cast<long>(mx) * co.hs + hh;
+            int16_t* out = co.out + (by * co.nbx + bx) * 64;
+            if (!decode_block(br, co, ps.hdc[co.td], ps.hac[co.ta], out))
+              return br.err ? br.err : ERR_BAD_HUFFMAN;
+          }
+        }
+      }
+      ++mcu_count;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -129,7 +129,8 @@ struct Sample {
 
 void augment_one(const Sample& s, int input_h, int input_w, float neg_thresh,
                  int max_gt, uint64_t seed, uint8_t* out_canvas, float* out_gt,
-                 uint8_t* out_gt_valid, float* out_paste, uint8_t* out_flip) {
+                 uint8_t* out_gt_valid, float* out_paste, uint8_t* out_flip,
+                 int32_t* out_n_kept) {
   std::mt19937_64 rng(seed);
   auto uniform = [&rng]() {
     return std::uniform_real_distribution<double>(0.0, 1.0)(rng);
@@ -222,6 +223,9 @@ void augment_one(const Sample& s, int input_h, int input_w, float neg_thresh,
   // 5. pad GT to the static bound
   std::memset(out_gt, 0, static_cast<size_t>(max_gt) * 4 * sizeof(float));
   std::memset(out_gt_valid, 0, static_cast<size_t>(max_gt));
+  // Surface the pre-cap count so the caller can account for truncation
+  // (the reference handles unbounded GT counts, processor.py:213-277).
+  *out_n_kept = static_cast<int32_t>(kept.size());
   int n = std::min<int>(kept.size(), max_gt);
   for (int i = 0; i < n; ++i) {
     out_gt[i * 4 + 0] = kept[i].x1;
@@ -241,10 +245,10 @@ void tf_augment_sample(const uint8_t* img, int h, int w, const float* boxes,
                        int n_boxes, int input_h, int input_w, float neg_thresh,
                        int max_gt, uint64_t seed, uint8_t* out_canvas,
                        float* out_gt, uint8_t* out_gt_valid, float* out_paste,
-                       uint8_t* out_flip) {
+                       uint8_t* out_flip, int32_t* out_n_kept) {
   Sample s{img, h, w, boxes, n_boxes};
   augment_one(s, input_h, input_w, neg_thresh, max_gt, seed, out_canvas,
-              out_gt, out_gt_valid, out_paste, out_flip);
+              out_gt, out_gt_valid, out_paste, out_flip, out_n_kept);
 }
 
 // Batched entry: pointer arrays per sample, threaded across the batch.
@@ -253,7 +257,7 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
                       int input_h, int input_w, float neg_thresh, int max_gt,
                       uint64_t seed, int n_threads, uint8_t* out_canvas,
                       float* out_gt, uint8_t* out_gt_valid, float* out_paste,
-                      uint8_t* out_flip) {
+                      uint8_t* out_flip, int32_t* out_n_kept) {
   const size_t canvas_stride = static_cast<size_t>(input_h) * input_w * 3;
   std::atomic<int> next{0};
   auto work = [&]() {
@@ -264,7 +268,8 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
       augment_one(s, input_h, input_w, neg_thresh, max_gt,
                   seed + static_cast<uint64_t>(i) * 0x9E3779B97F4A7C15ULL,
                   out_canvas + i * canvas_stride, out_gt + i * max_gt * 4,
-                  out_gt_valid + i * max_gt, out_paste + i * 4, out_flip + i);
+                  out_gt_valid + i * max_gt, out_paste + i * 4, out_flip + i,
+                  out_n_kept + i);
     }
   };
   int nt = std::max(1, std::min(n_threads, batch));
@@ -274,6 +279,6 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
   for (auto& th : threads) th.join();
 }
 
-int tf_version() { return 1; }
+int tf_version() { return 3; }
 
 }  // extern "C"

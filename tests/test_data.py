@@ -209,3 +209,63 @@ def test_loader_yuv_pack_mode():
     assert b["image_y"].shape == (4, 32, 32)
     assert b["image_u"].shape == b["image_v"].shape == (4, 16, 16)
     assert b["image_y"].dtype == np.uint8
+
+
+def test_gt_overflow_counted_python_path():
+    """Crops producing more GT boxes than max_gt must truncate loudly:
+    counter incremented, warning raised, first max_gt boxes kept (the
+    reference handles unbounded counts, processor.py:213-277)."""
+    import warnings
+
+    from tinyfaces_tpu.config import DetectorConfig
+    from tinyfaces_tpu.data import overflow
+    from tinyfaces_tpu.data.wider_face import augment_sample
+
+    overflow.reset()
+    cfg = DetectorConfig()
+    # Dense 1000x1000 grid of small faces: any 500x500 crop (at 0.5x, 1x or
+    # 2x augmentation scale) contains far more than max_gt=192 boxes.
+    img = np.full((1000, 1000, 3), 127, np.uint8)
+    step, size = 12, 8
+    xs, ys = np.meshgrid(np.arange(4, 996, step), np.arange(4, 996, step))
+    boxes = np.stack(
+        [xs.ravel(), ys.ravel(), xs.ravel() + size, ys.ravel() + size], axis=1
+    ).astype(np.float64)
+    assert boxes.shape[0] > 4 * cfg.max_gt
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _, gt, gt_valid, _, _ = augment_sample(
+            img, boxes, cfg, np.random.default_rng(0))
+    assert gt_valid.sum() == cfg.max_gt  # full capacity used
+    snap = overflow.snapshot()
+    assert snap["truncated_samples"] == 1
+    assert snap["dropped_boxes"] > 0
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    overflow.reset()
+
+
+def test_gt_overflow_counted_native_path():
+    from tinyfaces_tpu.config import DetectorConfig
+    from tinyfaces_tpu.data import native, overflow
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    overflow.reset()
+    cfg = DetectorConfig()
+    img = np.full((1000, 1000, 3), 127, np.uint8)
+    step, size = 12, 8
+    xs, ys = np.meshgrid(np.arange(4, 996, step), np.arange(4, 996, step))
+    boxes = np.stack(
+        [xs.ravel(), ys.ravel(), xs.ravel() + size, ys.ravel() + size], axis=1
+    ).astype(np.float32)
+
+    item = native.native_augment_sample(
+        img, boxes, cfg.input_size, cfg.neg_thresh, cfg.max_gt, seed=7)
+    assert item["gt_valid"].sum() == cfg.max_gt
+    snap = overflow.snapshot()
+    assert snap["truncated_samples"] == 1
+    assert snap["dropped_boxes"] > 0
+    overflow.reset()

@@ -247,3 +247,18 @@ def test_get_model_arch_resnet50():
     x = jnp.zeros((1, 96, 128, 3), jnp.float32)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 12, 16, 125)
+
+
+def test_non_integer_octave_scales_fall_back(detector):
+    """detect()/detect_batch() accept arbitrary float scales (e.g.
+    half-octaves) by routing through the host-resize path — the fused
+    program requires integer octaves (ADVICE r2: the fused-only ValueError
+    silently narrowed the public detect(scales=...) API)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    dets = detector.detect(img, prob_thresh=0.05, scales=(-0.5, 0.5))
+    assert dets.ndim == 2 and dets.shape[1] == 5
+    batch = detector.detect_batch([img, img], prob_thresh=0.05,
+                                  scales=(0.5,))
+    assert len(batch) == 2
+    np.testing.assert_allclose(batch[0], batch[1])

@@ -16,10 +16,15 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from tinyfaces_tpu.data import overflow
+
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libtinyfaces_native.so"
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+
+
+_ABI_VERSION = 3
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -27,14 +32,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        lib = None
+        if _LIB_PATH.exists():
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.tf_version.restype = ctypes.c_int
+            if lib.tf_version() != _ABI_VERSION:
+                # Stale build from an older source revision: rebuild. (The
+                # old handle stays mapped this process, so load the fresh
+                # build under an unambiguous dlopen of the new inode.)
+                lib = None
+                _LIB_PATH.unlink()
+        if lib is None:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)], check=True,
                 capture_output=True, timeout=120,
             )
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.tf_version.restype = ctypes.c_int
-        assert lib.tf_version() == 1
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.tf_version.restype = ctypes.c_int
+            assert lib.tf_version() == _ABI_VERSION
         lib.tf_augment_sample.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,  # img, h, w
             ctypes.c_void_p, ctypes.c_int,  # boxes, n_boxes
@@ -43,7 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,  # max_gt
             ctypes.c_uint64,  # seed
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,  # outputs
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outputs
         ]
         lib.tf_augment_batch.argtypes = [
             ctypes.c_int,  # batch
@@ -58,7 +73,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64,  # seed
             ctypes.c_int,  # n_threads
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,  # outputs
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outputs
         ]
         _lib = lib
     except Exception:
@@ -94,6 +109,7 @@ def native_augment_sample(
     out_valid = np.empty((max_gt,), np.uint8)
     out_paste = np.empty((4,), np.float32)
     out_flip = np.empty((1,), np.uint8)
+    out_n_kept = np.empty((1,), np.int32)
 
     lib.tf_augment_sample(
         image.ctypes.data_as(ctypes.c_void_p), image.shape[0], image.shape[1],
@@ -104,7 +120,9 @@ def native_augment_sample(
         out_valid.ctypes.data_as(ctypes.c_void_p),
         out_paste.ctypes.data_as(ctypes.c_void_p),
         out_flip.ctypes.data_as(ctypes.c_void_p),
+        out_n_kept.ctypes.data_as(ctypes.c_void_p),
     )
+    overflow.record(int(out_n_kept[0]), max_gt)
     return {
         "image": out_canvas,
         "gt_boxes": out_gt,
@@ -149,6 +167,7 @@ def native_augment_batch(
     out_valid = np.empty((b, max_gt), np.uint8)
     out_paste = np.empty((b, 4), np.float32)
     out_flip = np.empty((b,), np.uint8)
+    out_n_kept = np.empty((b,), np.int32)
 
     lib.tf_augment_batch(
         b, img_ptrs, hs, ws, box_ptrs, nb,
@@ -159,8 +178,11 @@ def native_augment_batch(
         out_valid.ctypes.data_as(ctypes.c_void_p),
         out_paste.ctypes.data_as(ctypes.c_void_p),
         out_flip.ctypes.data_as(ctypes.c_void_p),
+        out_n_kept.ctypes.data_as(ctypes.c_void_p),
     )
 
+    for n in out_n_kept:
+        overflow.record(int(n), max_gt)
     return {
         "image": out_canvas,
         "gt_boxes": out_gt,

@@ -189,7 +189,11 @@ def augment_sample(
             bboxes[:, 0] = cfg.input_size[1] - x2 + 1
             bboxes[:, 2] = cfg.input_size[1] - x1 + 1
 
-    # Pad GT to the static bound.
+    # Pad GT to the static bound; truncation is counted, never silent
+    # (the reference handles unbounded counts, processor.py:213-277).
+    from tinyfaces_tpu.data import overflow
+
+    overflow.record(bboxes.shape[0], cfg.max_gt)
     n = min(bboxes.shape[0], cfg.max_gt)
     gt = np.zeros((cfg.max_gt, 4), np.float32)
     gt[:n] = bboxes[:n]

@@ -118,6 +118,16 @@ def _round_up_mult(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _integer_octaves(scales) -> bool:
+    """True when every pyramid scale is an integer octave (f = 2**int).
+
+    The fused single-dispatch program requires integer octaves (its exact
+    integer level sizing, identity-resize skip and folded 2x stem all build
+    on f being a power of two); arbitrary float scales are served by the
+    host-resize path instead."""
+    return all(float(s) == int(s) for s in scales)
+
+
 def _round_up(x: int) -> int:
     """Adaptive shape bucketing: finer buckets for small dims, coarser for
     large ones, so the number of distinct compiled programs stays bounded
@@ -340,10 +350,14 @@ class PyramidDetector:
         all forwards + decode + NMS, single dispatch). `host_resize=True`
         selects the PIL-resize-per-scale path (reference-identical resampling,
         one dispatch per scale)."""
-        if not host_resize:
+        if not host_resize and _integer_octaves(
+            self.ec.scales if scales is None else scales
+        ):
             return self.detect_batch(
                 [image], prob_thresh, nms_thresh, scales
             )[0]
+        # Non-integer octaves (e.g. half-octave pyramids) fall back to the
+        # per-scale host-resize path, which supports arbitrary float scales.
         return self._detect_host_resize(image, prob_thresh, nms_thresh, scales)
 
     def detect_batch(
@@ -354,7 +368,15 @@ class PyramidDetector:
         scales: Optional[Sequence[int]] = None,
     ) -> list[np.ndarray]:
         """Fused-path detection over a batch of images (padded to a common
-        bucketed shape — batch same-sized images for best throughput)."""
+        bucketed shape — batch same-sized images for best throughput).
+
+        Non-integer-octave scales fall back to the per-image host-resize
+        path (arbitrary float scales; one dispatch per image per scale)."""
+        if not _integer_octaves(self.ec.scales if scales is None else scales):
+            return [
+                self._detect_host_resize(im, prob_thresh, nms_thresh, scales)
+                for im in images
+            ]
         return self._fetch(self.detect_batch_async(
             images, prob_thresh, nms_thresh, scales
         ))

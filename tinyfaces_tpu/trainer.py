@@ -422,10 +422,19 @@ class Trainer:
         drain()
         if timer.measured_steps:
             print(f"epoch {epoch}: {timer.items_per_sec:.2f} images/sec")
+            from tinyfaces_tpu.data import overflow
+
+            ov = overflow.snapshot()
+            if ov["dropped_boxes"]:
+                print(f"epoch {epoch}: GT truncation — "
+                      f"{ov['dropped_boxes']} boxes dropped over "
+                      f"{ov['truncated_samples']} crops (cumulative); "
+                      f"consider raising DetectorConfig.max_gt")
             self.metrics.log(
                 epoch=epoch, event="epoch_end",
                 loss_cls=self.class_average.average,
                 loss_reg=self.reg_average.average,
                 images_per_sec=timer.items_per_sec,
+                gt_dropped_boxes=ov["dropped_boxes"],
             )
         return state
