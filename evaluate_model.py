@@ -10,6 +10,36 @@ from tinyfaces_tpu.config import DetectorConfig, EvalConfig
 from tinyfaces_tpu.data import get_dataloader
 from tinyfaces_tpu.evaluation import PyramidDetector, get_model, write_results
 
+# HBM guard for the fused pyramid: the 2x level dominates activation
+# memory, so the per-bucket device batch is capped by a pixel budget —
+# eval_batch images at the 768x1024-class bucket, proportionally fewer for
+# larger buckets, always >= 1.
+BUDGET_PX_PER_EVAL_IMAGE = 768 * 1024
+
+
+def bucket_batch_for(bucket: tuple[int, int], eval_batch: int,
+                     mesh_n: int = 1) -> int:
+    """Device batch size used for a padded (h0p, w0p) bucket. One fused
+    program compiles per (bucket, batch) pair, so this policy also defines
+    the compile ladder (tools/prewarm_cache.py precompiles it)."""
+    budget_px = eval_batch * BUDGET_PX_PER_EVAL_IMAGE
+    n = max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
+    return max(mesh_n, n // mesh_n * mesh_n)
+
+
+def bucket_plan(sizes, eval_batch: int, mesh_n: int = 1) -> dict:
+    """{(h0p, w0p): device_batch} over an iterable of (h, w) image sizes —
+    the exact set of fused-pyramid programs a sweep will compile. WIDER val
+    (1024-max-dimension convention) produces ~6-9 buckets; see
+    tests/test_evaluation.py::test_wider_val_bucket_ladder_is_small."""
+    from tinyfaces_tpu.evaluation import _round_up
+
+    plan = {}
+    for h, w in sizes:
+        b = (_round_up(h), _round_up(w))
+        plan[b] = bucket_batch_for(b, eval_batch, mesh_n)
+    return plan
+
 
 def arguments(argv=None):
     parser = argparse.ArgumentParser("Model Evaluator")
@@ -33,12 +63,27 @@ def arguments(argv=None):
                         help="device batch per bucket (1 = per-image)")
     parser.add_argument("--host-resize", action="store_true",
                         help="PIL per-scale resize (reference resampling)")
-    parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
+    parser.add_argument("--transfer", default="rgb",
+                        choices=("rgb", "yuv420", "jpegdct"),
                         help="fused-path wire format; yuv420 halves H2D bytes"
-                             " (JPEG-native chroma subsampling)")
+                             " (JPEG-native chroma subsampling); jpegdct "
+                             "ships entropy-decoded DCT coefficients "
+                             "(~0.5-0.9 B/px) and decodes on the TPU")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard each fused batch over every local chip "
                              "(requires eval-batch divisible by chip count)")
+    # Multi-host sharded evaluation (process-sliced: each process detects
+    # images rank::world and writes its slice of the per-image result
+    # files into the shared results_dir; the files are disjoint, so the
+    # merged tree appears as processes finish — score it with
+    # wider_eval.py once all are done).
+    parser.add_argument("--coordinator-address", default="",
+                        help="host:port of process 0 for jax.distributed "
+                             "(optional — slicing alone needs no "
+                             "coordinator)")
+    parser.add_argument("--num-processes", default=0, type=int,
+                        help="total eval processes (0 = single process)")
+    parser.add_argument("--process-id", default=0, type=int)
     parser.add_argument("--shard", default="batch",
                         choices=("batch", "spatial", "auto"),
                         help="mesh sharding mode with --data-parallel: batch "
@@ -53,44 +98,59 @@ def arguments(argv=None):
 
 def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         debug=False, eval_batch=8, host_resize=False, workers=8,
-        inflight=3):
+        inflight=3, rank=0, world=1):
     """Evaluate the split with a three-stage pipeline: worker threads decode
     JPEGs (the reference's DataLoader(num_workers=8) equivalent,
     evaluate_model.py:34-44), the main thread groups images sharing a padded
     bucket shape into fixed-size device batches, and up to `inflight`
     batches ride the device queue concurrently (detect_batch_async) so host
     decode + padding + H2D overlap device compute. `host_resize` falls back
-    to the per-image PIL-resample path (reference-identical resampling)."""
+    to the per-image PIL-resample path (reference-identical resampling).
+
+    `rank`/`world`: multi-process sharding — this process detects images
+    `rank::world` only; per-image result files are disjoint across
+    processes, so all ranks may share one results_dir."""
     from collections import defaultdict, deque
     from concurrent.futures import ThreadPoolExecutor
 
     from tinyfaces_tpu.evaluation import _round_up
 
-    n = len(dataset)
+    indices = list(range(len(dataset)))[rank::world]
+    n = len(indices)
     done = 0
     dets = None
 
+    jpegdct = getattr(detector, "transfer", "rgb") == "jpegdct"
+    if jpegdct and host_resize:
+        raise ValueError("--host-resize needs decoded pixels; use "
+                         "--transfer rgb with it")
+    # jpegdct: worker threads entropy-decode only (ctypes drops the GIL);
+    # pixels never exist on the host.
+    fetch = dataset.get_dct if jpegdct else dataset.__getitem__
+
+    def dims(item):
+        return (item.h, item.w) if jpegdct else item.shape[:2]
+
     if host_resize or eval_batch <= 1:
-        for i in range(n):
-            image, img_path = dataset[i]
-            dets = detector.detect(image, prob_thresh, nms_thresh,
-                                   host_resize=host_resize)
+        for i in indices:
+            image, img_path = fetch(i)
+            if host_resize:
+                dets = detector.detect(image, prob_thresh, nms_thresh,
+                                       host_resize=True)
+            else:
+                dets = detector.detect_batch([image], prob_thresh,
+                                             nms_thresh)[0]
             write_results(dets, img_path, split, results_dir)
             done += 1
             if done % 25 == 0 or done == n:
                 print(f"[{done}/{n}] {img_path}: {dets.shape[0]} detections")
-            if debug and i >= 4:
+            if debug and done >= 5:
                 break
         return dets
 
     groups: dict = defaultdict(list)
     pending: deque = deque()
 
-    # HBM guard: the 2x pyramid level dominates activation memory, so cap the
-    # per-bucket batch by a pixel budget (eval_batch at the 768x1024-class
-    # bucket, fewer for larger originals, always >= 1). Under mesh sharding
-    # the batch must stay divisible by the mesh size.
-    budget_px = eval_batch * 768 * 1024
     # Batch-axis divisibility only binds under batch sharding; pure spatial
     # sharding splits H instead, so any batch size (incl. 1) is valid.
     # ("auto" keeps the divisible batches so full buckets ride the batch
@@ -102,8 +162,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     )
 
     def bucket_batch(bucket) -> int:
-        n = max(1, min(eval_batch, budget_px // (bucket[0] * bucket[1])))
-        return max(mesh_n, n // mesh_n * mesh_n)
+        return bucket_batch_for(bucket, eval_batch, mesh_n)
 
     def settle(entry):
         nonlocal done, dets
@@ -128,7 +187,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         while len(pending) > inflight:
             settle(pending.popleft())
 
-    limit = 5 if debug else n
+    limit = min(5, n) if debug else n
     # Decode ahead in worker threads (PIL JPEG decode drops the GIL) through
     # a bounded sliding window of futures — ThreadPoolExecutor.map would
     # submit the whole split at once and buffer gigabytes of decoded pixels.
@@ -138,10 +197,11 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         nxt = 0
         while futs or nxt < limit:
             while nxt < limit and len(futs) < window:
-                futs.append(pool.submit(dataset.__getitem__, nxt))
+                futs.append(pool.submit(fetch, indices[nxt]))
                 nxt += 1
             image, img_path = futs.popleft().result()
-            bucket = (_round_up(image.shape[0]), _round_up(image.shape[1]))
+            h, w = dims(image)
+            bucket = (_round_up(h), _round_up(w))
             groups[bucket].append((image, img_path))
             if len(groups[bucket]) >= bucket_batch(bucket):
                 flush(bucket)
@@ -160,6 +220,19 @@ def main():
     import jax.numpy as jnp
 
     args = arguments()
+
+    world = max(1, args.num_processes)
+    if args.coordinator_address:
+        # Optional: some multi-host runtimes (TPU pods) require the global
+        # runtime to be initialized even for process-local work. Must run
+        # before any other jax call (same as main.py:81-90).
+        from tinyfaces_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id,
+        )
 
     cfg = DetectorConfig()
     dataset, templates = get_dataloader(
@@ -184,12 +257,15 @@ def main():
 
         from tinyfaces_tpu.parallel.mesh import make_mesh
 
-        if args.shard == "batch" and args.eval_batch % len(jax.devices()):
+        # Process-sliced eval keeps device work process-local: each rank
+        # meshes over its OWN chips (unlike training's global mesh).
+        devices = jax.local_devices() if world > 1 else jax.devices()
+        if args.shard == "batch" and args.eval_batch % len(devices):
             raise SystemExit(
                 f"--data-parallel needs --eval-batch divisible by the "
-                f"{len(jax.devices())} devices"
+                f"{len(devices)} devices"
             )
-        mesh = make_mesh()
+        mesh = make_mesh(devices)
 
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
                                ec=EvalConfig(), transfer=args.transfer,
@@ -198,7 +274,7 @@ def main():
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,
         results_dir=args.results_dir, debug=args.debug,
         eval_batch=args.eval_batch, host_resize=args.host_resize,
-        workers=args.workers,
+        workers=args.workers, rank=args.process_id, world=world,
     )
 
 

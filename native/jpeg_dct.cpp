@@ -35,6 +35,8 @@ struct HuffTable {
   int32_t maxcode[17];  // -1 when no codes of this length
   int32_t valptr[17];
   uint8_t vals[256];
+  uint8_t lut_sym[256];
+  uint8_t lut_len[256];
   bool defined = false;
 };
 
@@ -51,73 +53,85 @@ struct Component {
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t acc = 0;
+  uint64_t acc = 0;
   int nbits = 0;
-  bool marker_hit = false;  // hit a non-RST marker (end of scan)
   int err = 0;
 
   BitReader(const uint8_t* p_, const uint8_t* end_) : p(p_), end(end_) {}
 
-  // Loads one byte, handling 0xFF00 stuffing. On a real marker, stops
-  // feeding bits (decoder treats further reads as zero bits + err).
-  bool fill() {
-    if (p >= end) { err = ERR_TRUNCATED; return false; }
-    uint8_t b = *p;
-    if (b == 0xFF) {
-      if (p + 1 >= end) { err = ERR_TRUNCATED; return false; }
-      uint8_t b2 = p[1];
-      if (b2 == 0x00) { p += 2; }
-      else { marker_hit = true; return false; }  // RSTn or EOI etc.
-    } else {
-      ++p;
+  // Keep >= 49 bits buffered (one Huffman symbol + magnitude <= 32 bits
+  // per refill). Handles 0xFF00 stuffing; at a marker or end-of-data it
+  // synthesizes zero bytes (valid streams terminate on their own EOBs —
+  // the libjpeg convention for the final lookahead).
+  inline void refill() {
+    while (nbits <= 48) {
+      uint8_t b = 0;
+      if (p < end) {
+        b = *p;
+        if (b == 0xFF) {
+          if (p + 1 < end && p[1] == 0x00) {
+            p += 2;  // stuffed FF
+          } else {
+            b = 0;  // marker (RSTn/EOI) or truncated: pad with zeros
+          }
+        } else {
+          ++p;
+        }
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
     }
-    acc = (acc << 8) | b;
-    nbits += 8;
-    return true;
   }
 
-  int bit() {
-    if (nbits == 0 && !fill()) return 0;
+  inline int bit1() {
     --nbits;
-    return (acc >> nbits) & 1;
+    return static_cast<int>((acc >> nbits) & 1);
   }
 
-  int bits(int n) {
-    int v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
-    return v;
-  }
-
-  // Byte-align and consume an expected RSTn marker (D0-D7).
+  // Byte-align and consume the expected RSTn marker (D0-D7). The buffer
+  // never pulls real bytes past a marker, so p sits at (or just before)
+  // it; tolerate a few pre-marker pad bytes like libjpeg's resync.
   bool restart() {
     nbits = 0;
     acc = 0;
-    marker_hit = false;
-    if (p + 1 >= end) { err = ERR_TRUNCATED; return false; }
-    if (p[0] != 0xFF || p[1] < 0xD0 || p[1] > 0xD7) {
-      err = ERR_BAD_MARKER;
-      return false;
+    for (int skip = 0; skip < 16 && p + 1 < end; ++skip, ++p) {
+      if (p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) {
+        p += 2;
+        return true;
+      }
     }
-    p += 2;
-    return true;
+    err = ERR_BAD_MARKER;
+    return false;
   }
 };
 
 int huff_decode(BitReader& br, const HuffTable& t) {
-  int code = 0;
-  for (int l = 1; l <= 16; ++l) {
-    code = (code << 1) | br.bit();
-    if (t.maxcode[l] >= 0 && code <= t.maxcode[l])
-      return t.vals[t.valptr[l] + code - t.mincode[l]];
+  br.refill();
+  int look = static_cast<int>((br.acc >> (br.nbits - 8)) & 0xFF);
+  int l = t.lut_len[look];
+  if (l) {
+    br.nbits -= l;
+    return t.lut_sym[look];
+  }
+  // rare long codes (9-16 bits): canonical walk from the 8-bit prefix
+  int code = look;
+  br.nbits -= 8;
+  for (int len = 9; len <= 16; ++len) {
+    code = (code << 1) | br.bit1();
+    if (t.maxcode[len] >= 0 && code <= t.maxcode[len])
+      return t.vals[t.valptr[len] + code - t.mincode[len]];
   }
   br.err = ERR_BAD_HUFFMAN;
   return 0;
 }
 
-// T.81 F.2.2.1 EXTEND: map magnitude bits to signed value.
-inline int extend(int v, int t) {
-  if (t == 0) return 0;
-  return (v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+// T.81 F.2.2.1 RECEIVE+EXTEND fused: s magnitude bits -> signed value.
+// Caller's huff_decode already refilled (>= 32 bits remain).
+inline int receive_extend(BitReader& br, int s) {
+  if (s == 0) return 0;
+  br.nbits -= s;
+  int v = static_cast<int>((br.acc >> br.nbits) & ((1u << s) - 1));
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
 }
 
 void build_huff(HuffTable& t, const uint8_t* counts /*1..16*/,
@@ -130,6 +144,21 @@ void build_huff(HuffTable& t, const uint8_t* counts /*1..16*/,
     code += counts[l - 1];
     k += counts[l - 1];
     t.maxcode[l] = counts[l - 1] ? code - 1 : -1;
+    code <<= 1;
+  }
+  // 8-bit lookahead LUT over all codes of length <= 8 (covers ~99% of
+  // symbols with typical tables): one table load per symbol.
+  std::memset(t.lut_len, 0, sizeof(t.lut_len));
+  code = 0;
+  k = 0;
+  for (int l = 1; l <= 8; ++l) {
+    for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
+      int base = code << (8 - l);
+      for (int suffix = 0; suffix < (1 << (8 - l)); ++suffix) {
+        t.lut_sym[base + suffix] = t.vals[k];
+        t.lut_len[base + suffix] = static_cast<uint8_t>(l);
+      }
+    }
     code <<= 1;
   }
   t.defined = true;
@@ -256,8 +285,7 @@ inline bool decode_block(BitReader& br, Component& c, const HuffTable& dc,
                          const HuffTable& ac, int16_t* out) {
   int t = huff_decode(br, dc);
   if (br.err) return false;
-  int diff = extend(br.bits(t), t);
-  c.pred += diff;
+  c.pred += receive_extend(br, t);
   out[0] = static_cast<int16_t>(c.pred);
   int k = 1;
   while (k < 64) {
@@ -270,7 +298,7 @@ inline bool decode_block(BitReader& br, Component& c, const HuffTable& dc,
     }
     k += r;
     if (k > 63) { br.err = ERR_BAD_HUFFMAN; return false; }
-    out[k++] = static_cast<int16_t>(extend(br.bits(s), s));
+    out[k++] = static_cast<int16_t>(receive_extend(br, s));
   }
   return true;
 }
@@ -314,6 +342,11 @@ int tf_jpeg_dct(const uint8_t* data, long len, int16_t* coef0, long cap0,
   Parser ps(data, len);
   int rc = ps.parse();
   if (rc) return rc;
+
+  // T.81 A.2.3: a single-component scan is non-interleaved — the MCU is
+  // ONE data unit and the sampling factors do not scale the block grid
+  // (grayscale JPEGs commonly carry 2x2 factors on their lone component).
+  if (ps.ncomp == 1) { ps.comp[0].hs = 1; ps.comp[0].vs = 1; }
 
   int hmax = 1, vmax = 1;
   for (int c = 0; c < ps.ncomp; ++c) {
@@ -370,6 +403,99 @@ int tf_jpeg_dct(const uint8_t* data, long len, int16_t* coef0, long cap0,
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// Row-major position of each zigzag index (dezigzag LUT).
+constexpr uint8_t kDezigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+}  // namespace
+
+extern "C" {
+
+// Sparsify one plane of zigzag quantized coefficients into the device
+// wire arrays (the C++ fast path of data/jpegdct.pack_dct_batch; the
+// NumPy implementation is the tested oracle). Image blocks (gby, gbx)
+// land in the top-left of the (cnh, cnw) canvas grid; every other canvas
+// block keeps `neutral_dc` (canvas-fill) and count 0. Over-budget planes
+// drop the highest zigzag frequencies first (spectral truncation).
+// stats: [0] truncated coeffs, [1] clamped escapes.
+void tf_dct_pack_plane(const int16_t* coef_zz, int gby, int gbx, int cnh,
+                       int cnw, long budget, long esc_cap, int16_t neutral_dc,
+                       int16_t* dc, uint8_t* cnt, uint8_t* pos, int8_t* val,
+                       int32_t* esc_idx, int16_t* esc_val, int32_t* stats) {
+  const long cn = static_cast<long>(cnh) * cnw;
+  for (long i = 0; i < cn; ++i) dc[i] = neutral_dc;
+  std::memset(cnt, 0, cn);
+  std::memset(pos, 0, budget);
+  std::memset(val, 0, budget);
+  for (long i = 0; i < esc_cap; ++i) esc_idx[i] = -1;
+  std::memset(esc_val, 0, esc_cap * sizeof(int16_t));
+  stats[0] = 0;
+  stats[1] = 0;
+
+  const long nb = static_cast<long>(gby) * gbx;
+  // Pass 1: per-zigzag-position histogram to pick the spectral cutoff.
+  long hist[64] = {};
+  long total = 0;
+  for (long b = 0; b < nb; ++b) {
+    const int16_t* c = coef_zz + b * 64;
+    for (int k = 1; k < 64; ++k)
+      if (c[k]) {
+        ++hist[k];
+        ++total;
+      }
+  }
+  int keep_upto = 64;
+  if (total > budget) {
+    long cum = 0;
+    keep_upto = 0;
+    for (int k = 0; k < 64; ++k) {
+      if (cum + hist[k] > budget) break;
+      cum += hist[k];
+      keep_upto = k + 1;
+    }
+    stats[0] = static_cast<int32_t>(total - cum);
+  }
+
+  // Pass 2: emit slots in canvas-block order (image raster order).
+  long slot = 0;
+  long n_esc = 0;
+  for (int by = 0; by < gby; ++by) {
+    for (int bx = 0; bx < gbx; ++bx) {
+      const int16_t* c = coef_zz + (static_cast<long>(by) * gbx + bx) * 64;
+      const long cid = static_cast<long>(by) * cnw + bx;
+      dc[cid] = c[0];
+      int n = 0;
+      for (int k = 1; k < keep_upto; ++k) {
+        int16_t v = c[k];
+        if (!v) continue;
+        pos[slot] = kDezigzag[k];
+        if (v > 127 || v < -127) {
+          if (n_esc < esc_cap) {
+            esc_idx[n_esc] = static_cast<int32_t>(slot);
+            esc_val[n_esc] = v;
+            ++n_esc;
+          } else {
+            ++stats[1];
+          }
+          val[slot] = v > 0 ? 127 : -127;
+        } else {
+          val[slot] = static_cast<int8_t>(v);
+        }
+        ++slot;
+        ++n;
+      }
+      cnt[cid] = static_cast<uint8_t>(n);
+    }
+  }
 }
 
 }  // extern "C"

@@ -262,3 +262,30 @@ def test_non_integer_octave_scales_fall_back(detector):
                                   scales=(0.5,))
     assert len(batch) == 2
     np.testing.assert_allclose(batch[0], batch[1])
+
+
+def test_wider_val_bucket_ladder_is_small():
+    """Compile-count audit (VERDICT r2 #5): over a WIDER-val-like size
+    distribution (1024-max-dimension convention, aspect ratios 0.56-1.0),
+    the adaptive bucketing yields a handful of (bucket, batch) programs,
+    all covered by tools/prewarm_cache.VAL_LADDER — a full val sweep
+    compiles nothing beyond the prewarmed ladder."""
+    from evaluate_model import bucket_plan
+    from tools.prewarm_cache import VAL_LADDER
+
+    rng = np.random.default_rng(0)
+    sizes = []
+    for _ in range(500):  # landscape: width pinned at 1024
+        sizes.append((int(rng.integers(576, 1025)), 1024))
+    for _ in range(60):  # portrait: height pinned at 1024
+        sizes.append((1024, int(rng.integers(680, 1025))))
+
+    plan = bucket_plan(sizes, eval_batch=8)
+    assert len(plan) <= len(VAL_LADDER), plan
+    ladder = {(h, w) for h, w in VAL_LADDER}
+    assert set(plan) <= ladder, (set(plan) - ladder)
+    # and the ladder's batch policy is what the sweep will use
+    from evaluate_model import bucket_batch_for
+
+    for bucket, batch in plan.items():
+        assert batch == bucket_batch_for(bucket, 8)

@@ -172,6 +172,44 @@ def test_evaluate_model_run_batched(wider_tree, tmp_path):
     assert len(files) == len(val)
 
 
+def test_evaluate_model_run_jpegdct(wider_tree, tmp_path):
+    """--transfer jpegdct drives the eval sweep from entropy-decoded
+    coefficients (host never decodes pixels) and writes the same per-image
+    result-file tree."""
+    import evaluate_model
+    from tinyfaces_tpu.data import jpegdct
+    from tinyfaces_tpu.evaluation import PyramidDetector
+
+    if not jpegdct.is_available():
+        pytest.skip("native library unavailable")
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (128, 128))
+    det = PyramidDetector(
+        model, {"params": params, "batch_stats": batch_stats}, templates,
+        cfg=DetectorConfig(), transfer="jpegdct",
+        ec=EvalConfig(scales=(0,), max_dets_per_scale=50, max_total_dets=50),
+    )
+    val = WIDERFace(
+        wider_tree / "wider_face_split" / "val.txt", templates,
+        dataset_root=wider_tree, split="val",
+    )
+    results_dir = tmp_path / "res_dct"
+    evaluate_model.run(
+        det, val, prob_thresh=0.2, nms_thresh=0.3, split="val",
+        results_dir=results_dir, eval_batch=4, workers=2,
+    )
+    files = sorted(results_dir.glob("*/*.txt"))
+    assert len(files) == len(val)
+    # serial jpegdct path too
+    serial_dir = tmp_path / "res_dct_serial"
+    evaluate_model.run(
+        det, val, prob_thresh=0.2, nms_thresh=0.3, split="val",
+        results_dir=serial_dir, eval_batch=1,
+    )
+    assert len(sorted(serial_dir.glob("*/*.txt"))) == len(val)
+
+
 def test_pipelined_eval_matches_serial(wider_tree, tmp_path):
     """The async pipelined sweep (threaded decode + inflight device batches)
     must write byte-identical detections to the serial per-image path."""

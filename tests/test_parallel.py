@@ -272,3 +272,70 @@ def test_choose_eval_sharding_auto():
     assert choose_eval_sharding(mesh, 1, "auto").spec == P(None, "data")
     assert choose_eval_sharding(mesh, 8, "batch").spec == P("data")
     assert choose_eval_sharding(mesh, 8, "spatial").spec == P(None, "data")
+
+
+def test_two_process_sharded_evaluation(tmp_path):
+    """Multi-host evaluation (VERDICT r2 #6): two real processes, each
+    initializing jax.distributed over loopback and sweeping its
+    rank::world slice of a synthetic val split into one shared
+    results_dir. The merged file tree must equal the full image list, with
+    no overlap between ranks."""
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from PIL import Image
+
+    # synthetic WIDER val tree
+    root = tmp_path / "wider"
+    d = root / "WIDER_val" / "images" / "0--Ev"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    ann = []
+    for i in range(6):
+        img = rng.integers(0, 255, (96, 112, 3), dtype=np.uint8)
+        Image.fromarray(img).save(d / f"im_{i}.jpg")
+        ann += [f"0--Ev/im_{i}.jpg", "1", "10 10 20 20 0 0 0 0 0 0"]
+    sd = root / "wider_face_split"
+    sd.mkdir()
+    (sd / "val.txt").write_text("\n".join(ann) + "\n")
+    results = tmp_path / "results"
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    import os
+
+    worker = Path(__file__).parent / "eval_shard_worker.py"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), f"127.0.0.1:{port}", "2", str(pid),
+             str(root), str(results)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, out[-2000:]
+            assert re.search(r"EVAL_SHARD_OK pid=\d n=6", out), out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    files = sorted(f.name for f in results.glob("*/*.txt"))
+    assert files == [f"im_{i}.txt" for i in range(6)]

@@ -146,3 +146,80 @@ def test_wider_protocol_agrees_with_voc_average_precision():
         np.array(confidences), np.array(det_rows), image_ids, class_recs, npos
     )
     assert abs(ap_wider - ap_voc) < 0.05, (ap_wider, ap_voc)
+
+
+def _random_fixture(seed):
+    """Randomized multi-event fixture exercising the protocol's corners:
+    ignored GTs, zero-GT images, detection-less images, duplicate matches,
+    borderline IoUs, tied scores, and (at seed % 3 == 2) constant scores."""
+    rng = np.random.default_rng(seed)
+    gt, keep, results = {}, {}, {}
+    for e in range(3):
+        for i in range(8):
+            img = f"{e}--Ev/im{e}_{i}.jpg"
+            n = int(rng.integers(0, 6))
+            xy = rng.uniform(0, 280, (n, 2))
+            wh = rng.uniform(15, 70, (n, 2))
+            gts = np.concatenate([xy, wh], axis=1) if n else np.zeros((0, 4))
+            gt[img] = gts
+            keep[img] = rng.random(n) < 0.7 if n else np.zeros(0, bool)
+
+            dets = []
+            for j in range(n):
+                r = rng.random()
+                if r < 0.55:  # jittered TP (some borderline IoU ~0.5)
+                    d = gts[j] + rng.normal(0, 4.0, 4)
+                elif r < 0.75:  # duplicate on GT 0
+                    d = gts[0] + rng.normal(0, 1.0, 4)
+                else:  # far FP
+                    d = np.array([400.0 + 40 * j, 380, 25, 25])
+                dets.append([*np.maximum(d, 1.0), rng.uniform(0.1, 0.9)])
+            for _ in range(int(rng.integers(0, 3))):  # FPs, incl. on 0-GT imgs
+                dets.append([*rng.uniform(300, 500, 2), 20, 20,
+                             rng.uniform(0.1, 0.9)])
+            dets = np.array(dets) if dets else np.zeros((0, 5))
+            if dets.shape[0] and seed % 3 == 1:  # tied scores
+                dets[:, 4] = np.round(dets[:, 4] * 4) / 4
+            if dets.shape[0] and seed % 3 == 2:  # all-constant scores
+                dets[:, 4] = 0.5
+            if dets.shape[0]:
+                dets = dets[np.argsort(-dets[:, 4], kind="stable")]
+            results[img] = dets
+    return gt, keep, results
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dataset_eval_matches_official_transcription(seed):
+    """wider_eval.dataset_eval (vectorized) against the loop-level
+    transcription of the official MATLAB eval_tools algorithm
+    (tests/wider_eval_official.py): agreement < 1e-6 AP on randomized
+    fixtures covering ignored GTs, empty images and tied scores — the
+    independent witness VERDICT r2 #4 asked for."""
+    from tests.wider_eval_official import evaluate_official
+
+    gt, keep, results = _random_fixture(seed)
+    ap_fast = dataset_eval(results, gt, keep)
+    ap_official = evaluate_official(results, gt, keep)
+    assert abs(ap_fast - ap_official) < 1e-6, (ap_fast, ap_official)
+
+
+def test_dataset_eval_official_quirks_pinned():
+    """The two protocol quirks are reproduced, not accidental: (a) every
+    detection matching an ignored GT is excluded; (b) detections on
+    zero-GT images contribute nothing."""
+    gt = {"e/a.jpg": np.array([[10.0, 10, 20, 20]]),
+          "e/b.jpg": np.zeros((0, 4)),
+          "e/c.jpg": np.array([[50.0, 50, 20, 20]])}
+    keep = {"e/a.jpg": np.array([False]),
+            "e/b.jpg": np.zeros(0, bool),
+            "e/c.jpg": np.array([True])}
+    results = {
+        # two detections on the ignored GT: both excluded (not FPs)
+        "e/a.jpg": np.array([[10, 10, 20, 20, 0.9], [11, 11, 20, 20, 0.8]]),
+        # detections on a zero-GT image: skipped entirely
+        "e/b.jpg": np.array([[5, 5, 10, 10, 0.95], [50, 50, 10, 10, 0.85]]),
+        "e/c.jpg": np.array([[50, 50, 20, 20, 0.7]]),
+    }
+    ap = dataset_eval(results, gt, keep)
+    # the only counted detection is the TP on e/c.jpg -> perfect AP
+    assert ap > 0.99, ap

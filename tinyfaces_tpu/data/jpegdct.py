@@ -1,0 +1,425 @@
+"""JPEG DCT-domain wire format — host half.
+
+Replaces the host-side full JPEG decode the reference performs per image
+(tinyfaces/datasets/wider_face.py:197-199) with entropy (Huffman) decode
+only: the C++ parser (native/jpeg_dct.cpp) emits quantized DCT
+coefficients, which `pack_dct_batch` packs into fixed-shape sparse arrays
+(~0.5-0.9 B/px on natural images vs 1.5 B/px YUV420 and 3 B/px RGB).
+The TPU does dequantization, the 8x8 IDCT, chroma upsampling, colorspace
+conversion and normalization fused into the pyramid program
+(tinyfaces_tpu/ops/jpeg.py) — the expensive half of JPEG decoding becomes
+MXU work and the wire carries what the file carried.
+
+Unsupported files (progressive JPEG, 4:2:2/4:4:4 chroma, CMYK, PNG...)
+are transparently transcoded through PIL to baseline 4:2:0 quality-95 and
+re-parsed; `transcode_count()` reports how often. Quality impact of the
+detour is the q95 requantization (small vs the detector's own tolerance;
+see tests/test_jpegdct.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import io
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tinyfaces_tpu.data import native as _native
+
+# JPEG zigzag order: ZIGZAG[i] = row-major index of the i-th zigzag entry.
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+
+_lock = threading.Lock()
+_transcodes = 0
+_bound = False
+
+
+@dataclasses.dataclass
+class DCTImage:
+    """Entropy-decoded JPEG: quantized coefficients at component resolution.
+
+    y/cb/cr: (nblocks_y, nblocks_x, 64) int16, ZIGZAG coefficient order.
+    qy/qc: (64,) uint16 quant tables, zigzag order. Grayscale: cb/cr None.
+    """
+
+    h: int
+    w: int
+    y: np.ndarray
+    cb: Optional[np.ndarray]
+    cr: Optional[np.ndarray]
+    qy: np.ndarray
+    qc: Optional[np.ndarray]
+
+
+def _bind(lib) -> None:
+    global _bound
+    if _bound:
+        return
+    lib.tf_jpeg_info.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+    lib.tf_jpeg_info.restype = ctypes.c_int
+    lib.tf_jpeg_dct.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.tf_jpeg_dct.restype = ctypes.c_int
+    lib.tf_dct_pack_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_int16,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.tf_dct_pack_plane.restype = None
+    _bound = True
+
+
+def is_available() -> bool:
+    lib = _native._load()
+    if lib is None:
+        return False
+    _bind(lib)
+    return True
+
+
+def transcode_count() -> int:
+    """How many images needed the PIL transcode fallback (non-baseline /
+    non-4:2:0 / non-JPEG inputs)."""
+    return _transcodes
+
+
+def _transcode(data: bytes) -> bytes:
+    """PIL fallback: decode anything PIL can read, re-encode as baseline
+    4:2:0 quality-95 JPEG for the native parser."""
+    global _transcodes
+    from PIL import Image
+
+    with _lock:
+        _transcodes += 1
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=95, subsampling=2)
+    return buf.getvalue()
+
+
+def parse_jpeg_dct(data: bytes) -> DCTImage:
+    """JPEG bytes -> quantized DCT coefficients (C++ entropy decode only).
+
+    Natively handles baseline/extended-sequential Huffman JPEGs with 4:2:0
+    or grayscale sampling; everything else takes the PIL transcode detour.
+    """
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native library unavailable for jpegdct transfer")
+    _bind(lib)
+
+    try:
+        return _parse_native(lib, data)
+    except ValueError:
+        # Not a baseline-4:2:0 JPEG (or a corrupt/unsupported stream): take
+        # the PIL transcode detour. Any residual failure raises from here.
+        return _parse_native(lib, _transcode(data))
+
+
+def _parse_native(lib, data: bytes) -> DCTImage:
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(8, np.int32)
+    rc = lib.tf_jpeg_info(buf.ctypes.data_as(ctypes.c_void_p), len(buf),
+                          info.ctypes.data_as(ctypes.c_void_p))
+    h, w, ncomp, hs, vs = (int(v) for v in info[:5])
+    if rc != 0 or not (ncomp == 1 or (hs == 2 and vs == 2)):
+        raise ValueError(f"not a native-path JPEG (rc={rc}, "
+                         f"ncomp={ncomp}, sampling={hs}x{vs})")
+
+    if ncomp == 1:
+        nby, nbx = -(-h // 8), -(-w // 8)
+        nbcy = nbcx = 0
+    else:
+        mcy, mcx = -(-h // (8 * vs)), -(-w // (8 * hs))
+        nby, nbx = mcy * vs, mcx * hs
+        nbcy, nbcx = mcy, mcx
+
+    y = np.zeros((nby * nbx, 64), np.int16)
+    cb = np.zeros((max(1, nbcy * nbcx), 64), np.int16)
+    cr = np.zeros_like(cb)
+    qt = np.zeros((3, 64), np.uint16)
+    grid = np.zeros(8, np.int32)
+    rc = lib.tf_jpeg_dct(
+        buf.ctypes.data_as(ctypes.c_void_p), len(buf),
+        y.ctypes.data_as(ctypes.c_void_p), y.shape[0],
+        cb.ctypes.data_as(ctypes.c_void_p), cb.shape[0],
+        cr.ctypes.data_as(ctypes.c_void_p), cr.shape[0],
+        qt.ctypes.data_as(ctypes.c_void_p),
+        grid.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"jpeg entropy decode failed (rc={rc})")
+    assert (int(grid[0]), int(grid[1])) == (nby, nbx), (grid, nby, nbx)
+
+    if ncomp == 1:
+        return DCTImage(h, w, y.reshape(nby, nbx, 64), None, None,
+                        qt[0].copy(), None)
+    return DCTImage(h, w, y.reshape(nby, nbx, 64),
+                    cb.reshape(nbcy, nbcx, 64), cr.reshape(nbcy, nbcx, 64),
+                    qt[0].copy(), qt[1].copy())
+
+
+def as_dct_image(im) -> DCTImage:
+    """Coerce detector inputs to DCTImage: passthrough for DCTImage, entropy
+    decode for JPEG bytes, PIL-encode (q95 4:2:0 — a transcode) for uint8
+    RGB arrays so array-based callers keep working under transfer="jpegdct".
+    """
+    if isinstance(im, DCTImage):
+        return im
+    if isinstance(im, (bytes, bytearray, memoryview)):
+        return parse_jpeg_dct(bytes(im))
+    arr = np.asarray(im)
+    if arr.dtype == np.uint8 and arr.ndim in (2, 3):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=95, subsampling=2)
+        return parse_jpeg_dct(buf.getvalue())
+    raise TypeError(
+        f"jpegdct transfer takes JPEG bytes, DCTImage or uint8 arrays, "
+        f"got {type(im).__name__}")
+
+
+# --- NumPy reference reconstruction (tests / offline use) ----------------
+
+def _idct_matrix() -> np.ndarray:
+    """M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); pixels = M^T F M."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m
+
+
+def reconstruct_plane_np(coef_zz: np.ndarray, qtab_zz: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag quantized -> (nby*8, nbx*8) float pixels in
+    [0, 255]. Reference implementation for the device kernel's tests."""
+    nby, nbx, _ = coef_zz.shape
+    dense = np.zeros((nby * nbx, 64), np.float64)
+    dense[:, ZIGZAG] = coef_zz.reshape(-1, 64) * qtab_zz.astype(np.float64)
+    f = dense.reshape(nby, nbx, 8, 8)
+    m = _idct_matrix()
+    px = np.einsum("ux,bcuv,vy->bcxy", m, f, m)
+    plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+    return np.clip(plane, 0.0, 255.0)
+
+
+# --- Batch packing for the device program --------------------------------
+
+_truncated_coeffs = 0
+_clamped_escapes = 0
+
+
+def truncation_stats() -> dict:
+    """Spectral-truncation accounting: nonzero AC coefficients dropped when
+    a batch exceeded its slot budget, and escape values clamped to +-127
+    when the escape budget overflowed (both kept rare by the default
+    budgets; never silent)."""
+    return {"truncated_coeffs": _truncated_coeffs,
+            "clamped_escapes": _clamped_escapes}
+
+
+# Slot budgets, in average coefficients per 8x8 block. The wire size IS the
+# budget (static shapes), so these set B/px directly: Y at 12/block with
+# int8 values + uint8 positions is 0.375 B/px; chroma at 8/block adds
+# ~0.125. Natural photos at JPEG quality ~85-92 average 6-14 nonzero Y ACs
+# per block; over-budget batches degrade gracefully by dropping the
+# highest-frequency coefficients (counted above).
+Y_SLOTS_PER_BLOCK = 12
+C_SLOTS_PER_BLOCK = 8
+ESC_PER_BLOCK = 1 / 16
+
+
+def _neutral_ycc() -> tuple[float, float, float]:
+    """MEAN_PIXEL (ImageNet mean, the canvas fill everywhere else in the
+    pipeline) in full-range BT.601 YCbCr."""
+    from tinyfaces_tpu.data.wider_face import MEAN_PIXEL
+
+    r, g, b = MEAN_PIXEL
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return yy, cb, cr
+
+
+def _pack_plane(coef_zz, nbx_img, w_grid, out_dc, out_cnt, out_pos, out_val,
+                out_esc_idx, out_esc_val):
+    """Sparsify one image plane into its row of the batch arrays.
+
+    coef_zz: (nb_img, 64) int16 zigzag. Blocks land at canvas block id
+    by*w_grid + bx; slots are emitted in block order so the device can
+    recover block ids from the per-block counts alone."""
+    global _truncated_coeffs, _clamped_escapes
+    nb_img = coef_zz.shape[0]
+    budget = out_pos.shape[0]
+
+    mask = coef_zz != 0
+    mask[:, 0] = False
+    total = int(mask.sum())
+    if total > budget:
+        # Spectral truncation: drop the highest zigzag frequencies first
+        # (JPEG's own progressive ordering) until the batch fits.
+        hist = mask.sum(0)
+        keep_upto = int(np.searchsorted(np.cumsum(hist), budget, "right"))
+        mask[:, keep_upto:] = False
+        with _lock:
+            _truncated_coeffs += total - int(mask.sum())
+
+    # nonzero() walks blocks in image row-major order, which is ascending
+    # canvas-block-id order (nbx_img <= w_grid), so emitting slots in this
+    # order lets the device recover block ids from the counts alone.
+    rows, zz = np.nonzero(mask)
+    vals = coef_zz[rows, zz].astype(np.int16)
+    n = vals.shape[0]
+
+    counts = mask.sum(1).astype(np.uint8)
+    img_cids = (np.arange(nb_img) // nbx_img) * w_grid + (
+        np.arange(nb_img) % nbx_img)
+    out_cnt[img_cids] = counts
+    out_dc[img_cids] = coef_zz[:, 0]
+
+    out_pos[:n] = ZIGZAG[zz]
+    small = np.clip(vals, -127, 127)
+    out_val[:n] = small.astype(np.int8)
+    esc = np.nonzero(vals != small)[0]
+    ne = min(esc.shape[0], out_esc_idx.shape[0])
+    if esc.shape[0] > ne:
+        with _lock:
+            _clamped_escapes += esc.shape[0] - ne
+    out_esc_idx[:ne] = esc[:ne]
+    out_esc_val[:ne] = vals[esc[:ne]]
+
+
+def _pack_plane_native(lib, coef_zz, nbx_img, grid_h, grid_w, neutral_dc,
+                       out_dc, out_cnt, out_pos, out_val, out_esc_idx,
+                       out_esc_val) -> None:
+    """C++ fast path of _pack_plane (tf_dct_pack_plane); ~20x the NumPy
+    sparsify, oracle-pinned by tests/test_jpegdct.py."""
+    global _truncated_coeffs, _clamped_escapes
+    stats = np.zeros(2, np.int32)
+    coef_zz = np.ascontiguousarray(coef_zz, np.int16)
+    lib.tf_dct_pack_plane(
+        coef_zz.ctypes.data_as(ctypes.c_void_p),
+        coef_zz.shape[0] // nbx_img, nbx_img, grid_h, grid_w,
+        out_pos.shape[0], out_esc_idx.shape[0],
+        ctypes.c_int16(int(neutral_dc)),
+        out_dc.ctypes.data_as(ctypes.c_void_p),
+        out_cnt.ctypes.data_as(ctypes.c_void_p),
+        out_pos.ctypes.data_as(ctypes.c_void_p),
+        out_val.ctypes.data_as(ctypes.c_void_p),
+        out_esc_idx.ctypes.data_as(ctypes.c_void_p),
+        out_esc_val.ctypes.data_as(ctypes.c_void_p),
+        stats.ctypes.data_as(ctypes.c_void_p),
+    )
+    if stats[0] or stats[1]:
+        with _lock:
+            _truncated_coeffs += int(stats[0])
+            _clamped_escapes += int(stats[1])
+
+
+def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
+                   use_native: bool = True) -> dict:
+    """Pack entropy-decoded images into the fixed-shape device wire arrays.
+
+    h0p/w0p: padded canvas (multiples of 16; evaluation buckets are x64).
+    Padding blocks decode to the MEAN_PIXEL canvas fill used everywhere
+    else. Returns the dict ops/jpeg.dct_batch_to_normalized consumes.
+    `use_native=False` forces the NumPy sparsify (the tested oracle).
+    """
+    assert h0p % 16 == 0 and w0p % 16 == 0, (h0p, w0p)
+    b = len(dcts)
+    w8, nb = w0p // 8, (h0p // 8) * (w0p // 8)
+    w16, nbc = w0p // 16, (h0p // 16) * (w0p // 16)
+    sy = nb * Y_SLOTS_PER_BLOCK
+    sc = nbc * C_SLOTS_PER_BLOCK
+    ey = max(16, int(nb * ESC_PER_BLOCK))
+    ec = max(16, int(nbc * ESC_PER_BLOCK))
+
+    yn, cbn, crn = _neutral_ycc()
+
+    wire = {
+        "y_dc": np.empty((b, nb), np.int16),
+        "y_cnt": np.zeros((b, nb), np.uint8),
+        "y_pos": np.zeros((b, sy), np.uint8),
+        "y_val": np.zeros((b, sy), np.int8),
+        "y_esc_idx": np.full((b, ey), -1, np.int32),
+        "y_esc_val": np.zeros((b, ey), np.int16),
+        "q_y": np.empty((b, 64), np.uint16),
+        "q_c": np.empty((b, 64), np.uint16),
+    }
+    for p in ("u", "v"):
+        wire[f"{p}_dc"] = np.empty((b, nbc), np.int16)
+        wire[f"{p}_cnt"] = np.zeros((b, nbc), np.uint8)
+        wire[f"{p}_pos"] = np.zeros((b, sc), np.uint8)
+        wire[f"{p}_val"] = np.zeros((b, sc), np.int8)
+        wire[f"{p}_esc_idx"] = np.full((b, ec), -1, np.int32)
+        wire[f"{p}_esc_val"] = np.zeros((b, ec), np.int16)
+
+    lib = _native._load() if use_native else None
+    h16 = h0p // 16
+
+    def pack_one(coef, nbx_img, grid_h, grid_w, neutral_dc, p, i):
+        if lib is not None:
+            _pack_plane_native(
+                lib, coef, nbx_img, grid_h, grid_w, neutral_dc,
+                wire[f"{p}_dc"][i], wire[f"{p}_cnt"][i], wire[f"{p}_pos"][i],
+                wire[f"{p}_val"][i], wire[f"{p}_esc_idx"][i],
+                wire[f"{p}_esc_val"][i])
+        else:
+            wire[f"{p}_dc"][i] = neutral_dc
+            _pack_plane(coef, nbx_img, grid_w,
+                        wire[f"{p}_dc"][i], wire[f"{p}_cnt"][i],
+                        wire[f"{p}_pos"][i], wire[f"{p}_val"][i],
+                        wire[f"{p}_esc_idx"][i], wire[f"{p}_esc_val"][i])
+
+    for i, d in enumerate(dcts):
+        qy_rm = np.empty(64, np.uint16)
+        qy_rm[ZIGZAG] = d.qy
+        wire["q_y"][i] = qy_rm
+        qc_rm = np.empty(64, np.uint16)
+        qc_rm[ZIGZAG] = d.qc if d.qc is not None else d.qy
+        wire["q_c"][i] = qc_rm
+
+        # Neutral (canvas-fill) DC for blocks no image content covers. The
+        # quantized DC of a flat block of value v is 8*(v-128)/q.
+        ndc_y = np.round(8.0 * (yn - 128.0) / float(d.qy[0]))
+        qc0 = float((d.qc if d.qc is not None else d.qy)[0])
+        ndc_u = np.round(8.0 * (cbn - 128.0) / qc0)
+        ndc_v = np.round(8.0 * (crn - 128.0) / qc0)
+
+        pack_one(d.y.reshape(-1, 64), d.y.shape[1], h0p // 8, w8,
+                 ndc_y, "y", i)
+        if d.cb is not None:
+            pack_one(d.cb.reshape(-1, 64), d.cb.shape[1], h16, w16,
+                     ndc_u, "u", i)
+            pack_one(d.cr.reshape(-1, 64), d.cr.shape[1], h16, w16,
+                     ndc_v, "v", i)
+        else:
+            # Grayscale: flat neutral-gray chroma (Cb = Cr = 128 -> DC 0).
+            wire["u_dc"][i] = 0
+            wire["u_cnt"][i] = 0
+            wire["v_dc"][i] = 0
+            wire["v_cnt"][i] = 0
+
+    return wire
+
+
+def wire_bytes(wire: dict) -> int:
+    """Total H2D payload of a packed batch (for benchmarks/diagnostics)."""
+    return sum(a.nbytes for a in wire.values())

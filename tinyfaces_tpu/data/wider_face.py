@@ -277,6 +277,15 @@ class WIDERFace:
         with Image.open(self.image_path(idx)) as im:
             return np.asarray(im.convert("RGB"))
 
+    def get_dct(self, idx: int):
+        """(DCTImage, img_path) for the jpegdct wire format: entropy-decode
+        the JPEG file directly — no pixel decode on the host at all (the
+        reference decodes fully on the host, wider_face.py:197-199)."""
+        from tinyfaces_tpu.data.jpegdct import parse_jpeg_dct
+
+        data = self.image_path(idx).read_bytes()
+        return parse_jpeg_dct(data), self.samples[idx].img_path
+
     def get_all_bboxes(self) -> np.ndarray:
         """All train GT boxes — input to offline template clustering
         (reference wider_face.py:123-128)."""

@@ -171,8 +171,14 @@ class PyramidDetector:
         "yuv420" packs planar JPEG-style YCbCr with 2x2-subsampled chroma
         (1.5 B/px) and converts to normalized RGB on device — halves H2D
         bytes on bandwidth-starved links (docs/PERF.md round 2) at a
-        <=~2/255 chroma cost, matching what a JPEG source already lost."""
-        if transfer not in ("rgb", "yuv420"):
+        <=~2/255 chroma cost, matching what a JPEG source already lost;
+        "jpegdct" ships entropy-decoded quantized DCT coefficients
+        (~0.5-0.9 B/px on natural photos) and performs dequant + 8x8 IDCT
+        + fancy chroma upsample + normalize on device (ops/jpeg.py) —
+        detect_batch then accepts raw JPEG bytes (or DCTImage), skipping
+        the host decode entirely; uint8 arrays are transparently encoded
+        first (data/jpegdct.py)."""
+        if transfer not in ("rgb", "yuv420", "jpegdct"):
             raise ValueError(f"unknown transfer mode {transfer!r}")
         if shard not in ("batch", "spatial", "auto"):
             raise ValueError(f"unknown shard mode {shard!r}")
@@ -233,7 +239,13 @@ class PyramidDetector:
             # Decode/normalize straight into the model's compute dtype:
             # halves the unpack+resize stages' HBM traffic for bf16
             # inference (the first conv casts anyway).
-            if transfer == "yuv420":
+            if transfer == "jpegdct":
+                from tinyfaces_tpu.ops.jpeg import dct_batch_to_normalized
+
+                b = images_in["y_dc"].shape[0]
+                x0 = dct_batch_to_normalized(images_in, h0p, w0p,
+                                             dtype=self.model.dtype)
+            elif transfer == "yuv420":
                 from tinyfaces_tpu.data.targets import yuv420_to_normalized
 
                 y, u, v = images_in
@@ -396,28 +408,38 @@ class PyramidDetector:
         nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
         scales = tuple(self.ec.scales if scales is None else scales)
 
-        hs = [im.shape[0] for im in images]
-        ws = [im.shape[1] for im in images]
-        h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
+        if self.transfer == "jpegdct":
+            from tinyfaces_tpu.data import jpegdct
 
-        # Fill only the padding margins (a full-canvas memset costs more than
-        # the device work at batch 16; np.empty itself is free). A fresh
-        # buffer per call keeps async in-flight transfers safe.
-        batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
-        for i, im in enumerate(images):
-            h, w = im.shape[:2]
-            batch[i, :h, :w] = im
-            if w < w0p:
-                batch[i, :h, w:] = MEAN_PIXEL
-            if h < h0p:
-                batch[i, h:] = MEAN_PIXEL
-
-        if self.transfer == "yuv420":
-            from tinyfaces_tpu.data.targets import rgb_to_yuv420
-
-            images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
+            dcts = [jpegdct.as_dct_image(im) for im in images]
+            hs = [d.h for d in dcts]
+            ws = [d.w for d in dcts]
+            h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
+            wire = jpegdct.pack_dct_batch(dcts, h0p, w0p)
+            images_j = {k: jnp.asarray(v) for k, v in wire.items()}
         else:
-            images_j = jnp.asarray(batch)
+            hs = [im.shape[0] for im in images]
+            ws = [im.shape[1] for im in images]
+            h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
+
+            # Fill only the padding margins (a full-canvas memset costs more
+            # than the device work at batch 16; np.empty itself is free). A
+            # fresh buffer per call keeps async in-flight transfers safe.
+            batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
+            for i, im in enumerate(images):
+                h, w = im.shape[:2]
+                batch[i, :h, :w] = im
+                if w < w0p:
+                    batch[i, :h, w:] = MEAN_PIXEL
+                if h < h0p:
+                    batch[i, h:] = MEAN_PIXEL
+
+            if self.transfer == "yuv420":
+                from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+                images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
+            else:
+                images_j = jnp.asarray(batch)
         hs_j = jnp.asarray(hs, jnp.int32)
         ws_j = jnp.asarray(ws, jnp.int32)
         if self.mesh is not None:

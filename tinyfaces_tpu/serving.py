@@ -51,8 +51,16 @@ class DetectionService:
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
-    def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one (H, W, 3) uint8 image; resolves to (N, 5) detections."""
+    def submit(self, image) -> Future:
+        """Enqueue one image; resolves to (N, 5) detections.
+
+        Accepts (H, W, 3) uint8 arrays; under transfer="jpegdct" also raw
+        JPEG bytes or DCTImage — the entropy decode then runs here on the
+        caller's thread (GIL-free C++), parallel across client threads."""
+        if getattr(self.detector, "transfer", "rgb") == "jpegdct":
+            from tinyfaces_tpu.data.jpegdct import as_dct_image
+
+            image = as_dct_image(image)
         fut: Future = Future()
         self._queue.put((image, fut))
         return fut
@@ -96,7 +104,9 @@ class DetectionService:
         return group
 
     @staticmethod
-    def _bucket(image: np.ndarray) -> tuple[int, int]:
+    def _bucket(image) -> tuple[int, int]:
+        if hasattr(image, "h"):  # DCTImage
+            return (_round_up(image.h), _round_up(image.w))
         return (_round_up(image.shape[0]), _round_up(image.shape[1]))
 
     def _resolve(self, entry) -> None:

@@ -41,8 +41,19 @@ def log(msg: str) -> None:
 T0 = time.time()
 
 
+# The standard WIDER-val compile ladder, derived from the dataset's
+# 1024-max-dimension convention: landscape heights bucket to x128
+# multiples against width 1024, plus the common portrait shapes. A full
+# val sweep compiles one fused program per (bucket, bucket_batch) pair —
+# this set covers it (~6 programs; tests/test_evaluation.py pins the
+# count for a WIDER-like size distribution).
+VAL_LADDER = [(768, 1024), (640, 1024), (512, 1024), (896, 1024),
+              (1024, 1024), (1024, 768), (1024, 896)]
+
+
 def warm_inference(transfer: str, buckets: list[tuple[int, int]],
-                   batches: list[int]) -> None:
+                   batches: list[int],
+                   ladder_eval_batch: int = 0) -> None:
     import jax.numpy as jnp
     import numpy as np
 
@@ -55,15 +66,29 @@ def warm_inference(transfer: str, buckets: list[tuple[int, int]],
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
                           ec=EvalConfig(), transfer=transfer)
     rng = np.random.default_rng(0)
+
+    def make(h, w, n):
+        return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)]
+
+    def run(imgs, b, h, w):
+        if b == 1:
+            det.detect(imgs[0])
+        else:
+            det.detect_batch(imgs[:b])
+        log(f"fused pyramid batch-{b} {h}x{w} ({transfer}) compiled")
+
     for h, w in buckets:
-        imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-                for _ in range(max(batches))]
+        imgs = make(h, w, max(batches))
         for b in batches:
-            if b == 1:
-                det.detect(imgs[0])
-            else:
-                det.detect_batch(imgs[:b])
-            log(f"fused pyramid batch-{b} {h}x{w} ({transfer}) compiled")
+            run(imgs, b, h, w)
+
+    if ladder_eval_batch:
+        from evaluate_model import bucket_batch_for
+
+        for h, w in VAL_LADDER:
+            b = bucket_batch_for((h, w), ladder_eval_batch)
+            run(make(h, w, b), b, h, w)
 
 
 def warm_train(transfer: str) -> None:
@@ -114,10 +139,10 @@ def warm_train(transfer: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--transfer", choices=("both", "yuv420", "rgb"),
+    ap.add_argument("--transfer", choices=("both", "yuv420", "rgb", "jpegdct"),
                     default="yuv420",
-                    help="wire formats to warm (default: yuv420, the "
-                         "production/bench default)")
+                    help="wire formats to warm (default: yuv420; 'both' = "
+                         "yuv420 + rgb)")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
     ap.add_argument("--bucket", action="append", default=[],
@@ -128,6 +153,12 @@ def main() -> None:
                     metavar="B",
                     help="extra fused-pyramid batch size (repeatable; "
                          "32 and 1 are always included)")
+    ap.add_argument("--val-ladder", type=int, nargs="?", const=8, default=0,
+                    metavar="EVAL_BATCH",
+                    help="also compile the standard WIDER-val bucket ladder "
+                         "at each bucket's device batch for this "
+                         "--eval-batch (default 8 when given bare) — a full "
+                         "val sweep then hits only warm programs")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
@@ -145,7 +176,8 @@ def main() -> None:
     transfers = ("yuv420", "rgb") if args.transfer == "both" else (args.transfer,)
     if not args.skip_eval:
         for t in transfers:
-            warm_inference(t, buckets, batches)
+            warm_inference(t, buckets, batches,
+                           ladder_eval_batch=args.val_ladder)
     if not args.skip_train:
         for t in transfers:
             warm_train(t)

@@ -61,17 +61,25 @@ def _iou_matrix(dets_xyxy: np.ndarray, gts_xyxy: np.ndarray) -> np.ndarray:
 
 
 def image_eval(dets: np.ndarray, gts: np.ndarray, keep_mask: np.ndarray):
-    """Official image_eval: greedy match dets (desc score) to GTs.
+    """Official image_evaluation semantics: greedy match dets (desc score).
 
     dets: (D, 5) xywh+score. gts: (G, 4) xywh. keep_mask: (G,) bool — GTs in
-    the difficulty split; matches to excluded GTs are neither TP nor FP.
-    Returns (D,) array: 1 = TP, 0 = FP, -1 = matched-to-ignored.
+    the difficulty split.
+    Returns (scores desc, flags): 1 = TP (new match to a kept GT), 0 = FP
+    (no match, or duplicate match to an already-matched kept GT), -1 =
+    excluded (best-overlap GT is outside the split — EVERY such detection
+    is excluded, the official tool's persistent recall_list = -1 state).
+
+    Protocol notes (pinned against the loop-level transcription in
+    tests/wider_eval_official.py): boxes convert xywh -> xyxy as x2 = x + w
+    with NO -1 while the overlap uses the +1 convention — the official
+    boxoverlap.m's 1-px-widened IoU, reproduced as-is.
     """
-    d = dets[np.argsort(-dets[:, 4])]
-    dx = d[:, :4].copy()
-    gx = gts.astype(np.float64).copy()
-    dx2 = np.stack([dx[:, 0], dx[:, 1], dx[:, 0] + dx[:, 2] - 1, dx[:, 1] + dx[:, 3] - 1], 1)
-    gx2 = np.stack([gx[:, 0], gx[:, 1], gx[:, 0] + gx[:, 2] - 1, gx[:, 1] + gx[:, 3] - 1], 1)
+    d = dets[np.argsort(-dets[:, 4], kind="stable")]
+    dx = d[:, :4].astype(np.float64)
+    gx = gts.astype(np.float64)
+    dx2 = np.stack([dx[:, 0], dx[:, 1], dx[:, 0] + dx[:, 2], dx[:, 1] + dx[:, 3]], 1)
+    gx2 = np.stack([gx[:, 0], gx[:, 1], gx[:, 0] + gx[:, 2], gx[:, 1] + gx[:, 3]], 1)
 
     flags = np.zeros(d.shape[0])
     if gts.shape[0] == 0:
@@ -81,9 +89,12 @@ def image_eval(dets: np.ndarray, gts: np.ndarray, keep_mask: np.ndarray):
     matched = np.zeros(gts.shape[0], dtype=bool)
     for i in range(d.shape[0]):
         j = int(np.argmax(iou[i]))
-        if iou[i, j] >= IOU_THRESH and not matched[j]:
-            matched[j] = True
-            flags[i] = 1 if keep_mask[j] else -1
+        if iou[i, j] >= IOU_THRESH:
+            if not keep_mask[j]:
+                flags[i] = -1
+            elif not matched[j]:
+                matched[j] = True
+                flags[i] = 1
     return d[:, 4], flags
 
 
@@ -102,7 +113,10 @@ def dataset_eval(results: dict, gt: dict, keep: dict) -> float:
 
     for img, gts in gt.items():
         dets = results.get(img, np.zeros((0, 5)))
-        if dets.shape[0] == 0:
+        # Official quirk reproduced: images with zero GT boxes are skipped
+        # entirely — their detections count as neither TPs nor FPs (the
+        # eval_tools main loop `continue`s on empty gt_boxes).
+        if dets.shape[0] == 0 or gts.shape[0] == 0:
             continue
         scores, flags = image_eval(dets, gts, keep[img])
         norm = (scores - smin) / span
