@@ -45,6 +45,10 @@ bench:
 bench-train:
 	$(PYTHON) bench_train.py
 
+# Serving latency SLO: p50/p95/p99 vs offered load (tools/serving_bench.py)
+bench-serving:
+	$(PYTHON) tools/serving_bench.py --loads 4,8,12,16 --out serving_slo.json
+
 # Published-mAP runbook: convert -> evaluate (+fused/host-resize A/B) ->
 # wider_eval -> pass/fail JSON vs 0.902/0.892/0.797. With real data:
 #   make parity-run ROOT=/data/WIDER CHECKPOINT=/data/checkpoint_50.pth \
@@ -64,3 +68,4 @@ parity-run-smoke:
 # per fresh machine, before the first production run or benchmark).
 prewarm:
 	$(PYTHON) tools/prewarm_cache.py --transfer both
+	$(PYTHON) tools/prewarm_cache.py --transfer jpegdct --skip-train --val-ladder

@@ -47,6 +47,12 @@ def arguments(argv=None):
                         help="bfloat16 activations (fp32 params)")
     parser.add_argument("--profile-dir", default="",
                         help="capture a jax.profiler trace of epoch 0 here")
+    parser.add_argument("--max-gt", default=0, type=int,
+                        help="static per-crop GT bound (0 = config default "
+                             "192; truncation past it is counted and warned "
+                             "— data/overflow.py). Measured Pallas "
+                             "assignment cost: 14.7/18.5/20.3 ms per "
+                             "batch-12 at G=192/384/512 (docs/PERF.md)")
     parser.add_argument("--log-every", default=1, type=int,
                         help="console cadence; >1 unblocks device pipelining")
     parser.add_argument("--metrics-log", default="",
@@ -92,6 +98,10 @@ def main():
     num_templates = 25  # aka the number of clusters
 
     cfg = DetectorConfig(num_templates=num_templates)
+    if args.max_gt:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_gt=args.max_gt)
     tc = TrainConfig(
         lr=args.lr,
         momentum=args.momentum,

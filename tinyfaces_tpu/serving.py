@@ -119,6 +119,18 @@ class DetectionService:
             for _, fut in group:
                 fut.set_exception(e)
 
+    @staticmethod
+    def _pad_batch(images: list) -> list:
+        """Pad a group to the next power of two by repeating the last image
+        (surplus outputs discarded). Without this, every distinct group
+        size that arrivals happen to produce compiles a NEW fused program
+        — catastrophic over a remote-compile tunnel (400-900 s each). The
+        ladder bounds the compile set to log2(max_batch)+1 programs."""
+        n = 1
+        while n < len(images):
+            n *= 2
+        return images + [images[-1]] * (n - len(images))
+
     def _run(self) -> None:
         pending: list = []  # in-flight [(async_result, group)], depth <= 2
         while not self._stop.is_set() or not self._queue.empty() or pending:
@@ -126,7 +138,7 @@ class DetectionService:
             if group:
                 try:
                     async_result = self.detector.detect_batch_async(
-                        [im for im, _ in group],
+                        self._pad_batch([im for im, _ in group]),
                         self.prob_thresh, self.nms_thresh, self.scales,
                     )
                     pending.append((async_result, group))

@@ -28,11 +28,16 @@ def build_tree(root: Path, n: int, seed: int = 0):
     d = root / "WIDER_val" / "images" / "0--Bench"
     d.mkdir(parents=True, exist_ok=True)
     ann = []
-    # two realistic size classes so bucketing has work to do
+    # two realistic size classes so bucketing has work to do; natural
+    # spectral statistics so the jpegdct wire size is representative
     sizes = [(768, 1024), (680, 1024), (768, 1024), (576, 768)]
     for i in range(n):
         h, w = sizes[i % len(sizes)]
-        img = rng.integers(0, 220, (h, w, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 60 * np.sin(xx / 97.0) + 40 * np.cos(yy / 61.0)
+        tex = np.kron(rng.normal(0, 18, (h // 8, w // 8, 3)),
+                      np.ones((8, 8, 1)))
+        img = np.clip(base[..., None] + tex, 0, 255).astype(np.uint8)
         img[100:180, 100:180] = 255
         Image.fromarray(img).save(d / f"im{i}.jpg", quality=90)
         ann += [f"0--Bench/im{i}.jpg", "1", "100 100 80 80 0 0 0 0 0 0"]
@@ -82,6 +87,9 @@ def main():
 
             def __getitem__(self, i):
                 return dataset[i]
+
+            def get_dct(self, i):
+                return dataset.get_dct(i)
 
         with contextlib.redirect_stdout(io.StringIO()):
             evaluate_model.run(det, Prefix(), 0.03, 0.3, "val",

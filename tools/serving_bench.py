@@ -129,11 +129,14 @@ def main():
     service = DetectionService(detector, max_batch=args.max_batch,
                                max_delay_ms=args.max_delay_ms)
 
-    # warm the compile caches for batch sizes the policy will produce
-    print("# warmup", file=sys.stderr, flush=True)
-    service.submit(inputs[0]).result()
-    for f in [service.submit(x) for x in inputs * 2]:
-        f.result()
+    # Warm the service's power-of-two batch ladder (the only shapes the
+    # padded dispatcher produces) so measurement never hits a compile.
+    n = 1
+    while n <= args.max_batch:
+        print(f"# warmup batch {n}", file=sys.stderr, flush=True)
+        for f in [service.submit(inputs[i % len(inputs)]) for i in range(n)]:
+            f.result()
+        n *= 2
 
     rows = []
     for load in (float(v) for v in args.loads.split(",")):
