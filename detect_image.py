@@ -24,14 +24,23 @@ def arguments(argv=None):
                         help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--output", default="",
                         help="save annotated image here instead of .show()")
+    parser.add_argument("--transfer", default="rgb",
+                        choices=("rgb", "yuv420", "jpegdct"),
+                        help="wire format; jpegdct feeds the JPEG file's "
+                             "own DCT coefficients straight to the device")
 
     return parser.parse_args(argv)
 
 
-def run(model, variables, image, templates, prob_thresh, nms_thresh):
+def run(model, variables, image, templates, prob_thresh, nms_thresh,
+        transfer="rgb", jpeg_bytes=None):
     detector = PyramidDetector(
-        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig()
+        model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig(),
+        transfer=transfer,
     )
+    if transfer == "jpegdct" and jpeg_bytes is not None:
+        return detector.detect_batch(
+            [jpeg_bytes], prob_thresh, nms_thresh, scales=(0,))[0]
     return detector.detect(
         np.asarray(image), prob_thresh, nms_thresh, scales=(0,)
     )
@@ -52,7 +61,12 @@ def main():
     print("Loaded model", args.checkpoint)
 
     image = Image.open(args.image_path).convert("RGB")
-    dets = run(model, variables, image, templates, args.prob_thresh, args.nms_thresh)
+    jpeg_bytes = None
+    if args.transfer == "jpegdct" and args.image_path.lower().endswith(
+            (".jpg", ".jpeg")):
+        jpeg_bytes = open(args.image_path, "rb").read()
+    dets = run(model, variables, image, templates, args.prob_thresh,
+               args.nms_thresh, transfer=args.transfer, jpeg_bytes=jpeg_bytes)
     print(f"{dets.shape[0]} detections")
 
     draw = ImageDraw.Draw(image)

@@ -87,3 +87,11 @@ class EvalConfig:
     # materializes the 2x canvas. Border-exact; interior differs from
     # resize+conv only in fp summation order.
     fold_stem: bool = True
+    # Run layer1 width-packed (2 px into the channel axis) in the fused
+    # pyramid (ops/packedconv.py). The isolated packed 3x3 measured 0.70x
+    # the unpacked time (C=64 half-fills the MXU lanes), but in the FULL
+    # fused program the packed path measured 5% SLOWER (241.5 vs 229.5
+    # ms/batch16) — the pack/unpack relayouts and doubled weight footprint
+    # eat the gain (docs/PERF.md round 3, negative result). Kept available
+    # for future stacking with a packed layer2 entry.
+    packed_layer1: bool = False

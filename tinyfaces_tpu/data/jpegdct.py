@@ -375,6 +375,7 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
     h16 = h0p // 16
 
     def pack_one(coef, nbx_img, grid_h, grid_w, neutral_dc, p, i):
+        """Sparsify one plane into its slice of the batch arrays."""
         if lib is not None:
             _pack_plane_native(
                 lib, coef, nbx_img, grid_h, grid_w, neutral_dc,
@@ -388,7 +389,8 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
                         wire[f"{p}_pos"][i], wire[f"{p}_val"][i],
                         wire[f"{p}_esc_idx"][i], wire[f"{p}_esc_val"][i])
 
-    for i, d in enumerate(dcts):
+    def pack_image(i: int) -> None:
+        d = dcts[i]
         qy_rm = np.empty(64, np.uint16)
         qy_rm[ZIGZAG] = d.qy
         wire["q_y"][i] = qy_rm
@@ -416,6 +418,16 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
             wire["u_cnt"][i] = 0
             wire["v_dc"][i] = 0
             wire["v_cnt"][i] = 0
+
+    if lib is not None and b > 1:
+        # images write disjoint batch rows; the C++ packer drops the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(4, b)) as pool:
+            list(pool.map(pack_image, range(b)))
+    else:
+        for i in range(b):
+            pack_image(i)
 
     return wire
 

@@ -257,6 +257,25 @@ class PyramidDetector:
                 x0 = normalize_images(images_in, dtype=self.model.dtype)
             k = self.ec.max_dets_per_scale
 
+            def apply_model(xin, *, stem_precomputed: bool):
+                """Backbone forward; ec.packed_layer1 routes the 64-channel
+                stage through the width-packed form (ops/packedconv.py) —
+                C=64 half-fills the MXU lanes, the packed form measured
+                0.70x the time at 2x the FLOPs."""
+                if not self.ec.packed_layer1:
+                    return model.apply(variables, xin, train=False,
+                                       stem_precomputed=stem_precomputed)
+                from tinyfaces_tpu.ops import packedconv
+
+                stem = (xin if stem_precomputed
+                        else packedconv.conv1_stem(variables, xin,
+                                                   self.model.dtype))
+                l1 = packedconv.stem_tail_packed_layer1(
+                    variables, stem, n_blocks=self.model.stage_sizes[0],
+                    dtype=self.model.dtype)
+                return model.apply(variables, l1, train=False,
+                                   layer1_precomputed=True)
+
             all_b, all_s, all_v = [], [], []
             for si, s in enumerate(scales):
                 f = 2.0**s
@@ -287,7 +306,7 @@ class PyramidDetector:
                     # implemented as two real weight-matrix contractions per
                     # image. Skip it: bit-exact, saves the second-largest
                     # resize stage in the fused program.
-                    out = model.apply(variables, x0, train=False)
+                    out = apply_model(x0, stem_precomputed=False)
                 elif (self.ec.fold_stem and f == 2.0
                       and (thp, twp) == (2 * h0p, 2 * w0p)):
                     # The 2x level's resize factor is exactly 2.0 for every
@@ -297,11 +316,10 @@ class PyramidDetector:
                     # tensor in this program — is never materialized.
                     stem = folded_stem_2x(
                         x0, variables["params"]["backbone"]["conv1"]["kernel"])
-                    out = model.apply(variables, stem, train=False,
-                                      stem_precomputed=True)
+                    out = apply_model(stem, stem_precomputed=True)
                 else:
                     xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
-                    out = model.apply(variables, xs, train=False)
+                    out = apply_model(xs, stem_precomputed=False)
 
                 st = int(stride)
                 hm_h = (th_v + st - 1) // st
