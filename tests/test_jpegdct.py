@@ -280,3 +280,172 @@ def test_native_pack_matches_numpy_oracle():
         assert set(wa) == set(wb)
         for k in wa:
             np.testing.assert_array_equal(wa[k], wb[k], err_msg=f"{k} ({budget_kind})")
+
+
+# --- Minimal test-only baseline JPEG encoder (restart-interval coverage) --
+# PIL cannot emit DRI/RSTn markers, so the decoder's restart handling
+# would otherwise go untested. This encoder is deliberately tiny: standard
+# Annex-K quant/Huffman tables, 4:2:0, optional restart interval.
+
+_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)  # zigzag-order after reorder below (values are row-major here)
+
+_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(bits[l]):
+            codes[vals[k]] = (code, l)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def encode_jpeg_gray_dri(coef_zz, qtab_zz, h, w, restart_interval):
+    """Encode (nby, nbx, 64) zigzag quantized coefficients as a grayscale
+    baseline JPEG with a restart interval. Test-only."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(q) for q in qtab_zz))
+    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = 0
+    rst = 0
+    nby, nbx, _ = coef_zz.shape
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = 0
+            blk = coef_zz[by, bx]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            mag = abs(diff)
+            t = mag.bit_length()
+            c, l = dc_codes[t]
+            bw.put(c, l)
+            if t:
+                v = diff if diff > 0 else diff + (1 << t) - 1
+                bw.put(v & ((1 << t) - 1), t)
+            run = 0
+            last_nz = max([k for k in range(1, 64) if blk[k]] or [0])
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, l = ac_codes[0xF0]
+                    bw.put(c, l)
+                    run -= 16
+                s = abs(v).bit_length()
+                c, l = ac_codes[(run << 4) | s]
+                bw.put(c, l)
+                vv = v if v > 0 else v + (1 << s) - 1
+                bw.put(vv & ((1 << s) - 1), s)
+                run = 0
+            if last_nz < 63:
+                c, l = ac_codes[0x00]
+                bw.put(c, l)
+            mcu += 1
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("dri", [0, 1, 5])
+def test_restart_interval_decode(dri):
+    """The native decoder handles DRI/RSTn streams (PIL cannot emit them,
+    hence the test-only encoder above). Round-trip: random sparse
+    coefficients -> our encoder -> native parse -> identical coefficients,
+    cross-checked against PIL's decode of the same bytes."""
+    rng = np.random.default_rng(40 + dri)
+    nby, nbx = 5, 7
+    h, w = nby * 8, nbx * 8
+    coef = np.zeros((nby, nbx, 64), np.int16)
+    for b in range(nby * nbx):
+        k = rng.integers(0, 8)
+        idx = rng.choice(np.arange(1, 40), size=k, replace=False)
+        coef.reshape(-1, 64)[b, idx] = rng.integers(-60, 60, size=k)
+    coef.reshape(-1, 64)[:, 0] = rng.integers(-80, 80, nby * nbx)
+    q = np.ones(64, np.uint16) * 2
+    q[0] = 4
+
+    data = encode_jpeg_gray_dri(coef, q, h, w, dri)
+    before = jpegdct.transcode_count()
+    d = jpegdct.parse_jpeg_dct(data)
+    assert jpegdct.transcode_count() == before, "native path must handle DRI"
+    assert (d.h, d.w) == (h, w) and d.cb is None
+    np.testing.assert_array_equal(d.y, coef)
+    np.testing.assert_array_equal(d.qy, q)
+
+    # PIL agrees our encoder produced a valid JPEG
+    from PIL import Image
+
+    pil = np.asarray(Image.open(io.BytesIO(data))).astype(np.float64)
+    ours = jpegdct.reconstruct_plane_np(d.y, d.qy)[:h, :w]
+    assert np.abs(np.round(ours) - pil).max() <= 1.0
