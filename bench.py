@@ -47,16 +47,20 @@ BASELINE_IMGS_PER_SEC = 3.0  # estimated reference-on-A100 (see docstring)
 
 def natural_images(n, h, w, seed=0):
     """Synthetic photos with natural spectral statistics — smooth base +
-    low-frequency texture — so JPEG entropy (and therefore the jpegdct
-    wire size) is realistic rather than worst-case noise."""
+    luma-dominant texture (real photo chroma is much smoother than luma;
+    full-amplitude 3-channel noise would be a pathological chroma
+    spectrum no camera produces) — so JPEG entropy and the jpegdct wire
+    behavior are realistic rather than worst-case."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base = 128 + 60 * np.sin(xx / 97.0) + 40 * np.cos(yy / 61.0)
     out = []
     for _ in range(n):
-        tex = np.kron(rng.normal(0, 18, (h // 8, w // 8, 3)),
+        tex = np.kron(rng.normal(0, 18, (h // 8, w // 8, 1)),
                       np.ones((8, 8, 1)))
-        out.append(np.clip(base[..., None] + tex + [12, 0, -12],
+        ctex = np.kron(rng.normal(0, 5, (h // 16, w // 16, 3)),
+                       np.ones((16, 16, 1)))
+        out.append(np.clip(base[..., None] + tex + ctex + [12, 0, -12],
                            0, 255).astype(np.uint8))
     return out
 
@@ -113,6 +117,15 @@ def main():
             return images
 
         wire_bytes = h * w * (1.5 if transfer == "yuv420" else 3.0)
+
+    # Link probe: time one 8 MiB H2D put (distinct buffer — the transport
+    # memoizes identical transfers) for congestion attribution. The e2e
+    # number is wire-bound (docs/PERF.md): at 0.58 B/px jpegdct needs
+    # ~0.45 MB/img, so link_MBps / 0.45 bounds achievable img/s.
+    probe = np.random.default_rng(1).integers(0, 255, (8 << 20,), np.uint8)
+    t0 = time.time()
+    jnp.asarray(probe).block_until_ready()
+    link_mbps = 8.0 / max(time.time() - t0, 1e-9)
 
     # Warmup: compiles the fused whole-pyramid program (unpack + resize +
     # 4 forwards + decode + cross-scale NMS in ONE dispatch).
@@ -189,6 +202,7 @@ def main():
                  f"; transcodes {jpegdct.transcode_count()}")
     print(
         f"# transfer={transfer} wire {wire_bytes / (h * w):.2f} B/px; "
+        f"link probe {link_mbps:.0f} MiB/s; "
         f"warmup(compile) {warmup_s:.1f}s; window rates "
         f"{[round(r, 1) for r in all_rates]} img/s "
         f"(steady-state median of {len(rates)}); "

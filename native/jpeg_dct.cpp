@@ -407,93 +407,54 @@ int tf_jpeg_dct(const uint8_t* data, long len, int16_t* coef0, long cap0,
 
 }  // extern "C"
 
-namespace {
-
-// Row-major position of each zigzag index (dezigzag LUT).
-constexpr uint8_t kDezigzag[64] = {
-    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
-
-}  // namespace
-
 extern "C" {
 
-// Sparsify one plane of zigzag quantized coefficients into the device
-// wire arrays (the C++ fast path of data/jpegdct.pack_dct_batch; the
-// NumPy implementation is the tested oracle). Image blocks (gby, gbx)
-// land in the top-left of the (cnh, cnw) canvas grid; every other canvas
-// block keeps `neutral_dc` (canvas-fill) and count 0. Over-budget planes
-// drop the highest zigzag frequencies first (spectral truncation).
-// stats: [0] truncated coeffs, [1] clamped escapes.
-void tf_dct_pack_plane(const int16_t* coef_zz, int gby, int gbx, int cnh,
-                       int cnw, long budget, long esc_cap, int16_t neutral_dc,
-                       int16_t* dc, uint8_t* cnt, uint8_t* pos, int8_t* val,
+// Zigzag-dense pack (wire v3): per block, quantized DC (int16) + the
+// first `z_keep` zigzag AC coefficients as clamped int8 with an escape
+// list for |q| > 127. No per-slot positions or counts — the device
+// reconstructs with one basis matmul (ops/jpeg.py). Coefficients past
+// z_keep are dropped (spectral truncation, counted in stats[0]);
+// escape-list overflow clamps (stats[1]).
+//   coef_zz: (gby*gbx, 64) int16 zigzag; image grid lands at the
+//   top-left of the (cnh, cnw) canvas grid; other canvas blocks get
+//   neutral_dc and zero ACs.
+void tf_dct_pack_dense(const int16_t* coef_zz, int gby, int gbx, int cnh,
+                       int cnw, int z_keep, long esc_cap,
+                       int16_t neutral_dc, int16_t* dc, int8_t* ac,
                        int32_t* esc_idx, int16_t* esc_val, int32_t* stats) {
   const long cn = static_cast<long>(cnh) * cnw;
   for (long i = 0; i < cn; ++i) dc[i] = neutral_dc;
-  std::memset(cnt, 0, cn);
-  std::memset(pos, 0, budget);
-  std::memset(val, 0, budget);
+  std::memset(ac, 0, cn * z_keep);
   for (long i = 0; i < esc_cap; ++i) esc_idx[i] = -1;
   std::memset(esc_val, 0, esc_cap * sizeof(int16_t));
   stats[0] = 0;
   stats[1] = 0;
 
-  const long nb = static_cast<long>(gby) * gbx;
-  // Pass 1: per-zigzag-position histogram to pick the spectral cutoff.
-  long hist[64] = {};
-  long total = 0;
-  for (long b = 0; b < nb; ++b) {
-    const int16_t* c = coef_zz + b * 64;
-    for (int k = 1; k < 64; ++k)
-      if (c[k]) {
-        ++hist[k];
-        ++total;
-      }
-  }
-  int keep_upto = 64;
-  if (total > budget) {
-    long cum = 0;
-    keep_upto = 0;
-    for (int k = 0; k < 64; ++k) {
-      if (cum + hist[k] > budget) break;
-      cum += hist[k];
-      keep_upto = k + 1;
-    }
-    stats[0] = static_cast<int32_t>(total - cum);
-  }
-
-  // Pass 2: emit slots in canvas-block order (image raster order).
-  long slot = 0;
   long n_esc = 0;
   for (int by = 0; by < gby; ++by) {
     for (int bx = 0; bx < gbx; ++bx) {
       const int16_t* c = coef_zz + (static_cast<long>(by) * gbx + bx) * 64;
       const long cid = static_cast<long>(by) * cnw + bx;
       dc[cid] = c[0];
-      int n = 0;
-      for (int k = 1; k < keep_upto; ++k) {
+      int8_t* out = ac + cid * z_keep;
+      for (int k = 1; k <= z_keep; ++k) {
         int16_t v = c[k];
         if (!v) continue;
-        pos[slot] = kDezigzag[k];
         if (v > 127 || v < -127) {
           if (n_esc < esc_cap) {
-            esc_idx[n_esc] = static_cast<int32_t>(slot);
+            esc_idx[n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
             esc_val[n_esc] = v;
             ++n_esc;
           } else {
             ++stats[1];
           }
-          val[slot] = v > 0 ? 127 : -127;
+          out[k - 1] = v > 0 ? 127 : -127;
         } else {
-          val[slot] = static_cast<int8_t>(v);
+          out[k - 1] = static_cast<int8_t>(v);
         }
-        ++slot;
-        ++n;
       }
-      cnt[cid] = static_cast<uint8_t>(n);
+      for (int k = z_keep + 1; k < 64; ++k)
+        if (c[k]) ++stats[0];
     }
   }
 }

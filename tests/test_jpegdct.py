@@ -22,15 +22,19 @@ pytestmark = pytest.mark.skipif(
 
 
 def natural_image(h, w, seed=0, color=True):
-    """Synthetic image with natural-photo spectral statistics (smooth base
-    + low-frequency texture), so JPEG sparsity is realistic."""
+    """Synthetic image with natural-photo spectral statistics: smooth base
+    + luma-dominant texture (real photo chroma is much smoother than
+    luma — full-amplitude 3-channel noise would be a pathological chroma
+    spectrum no camera produces)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base = 128 + 60 * np.sin(xx / 97.0) + 40 * np.cos(yy / 61.0)
-    tex = np.kron(rng.normal(0, 18, (h // 8 + 1, w // 8 + 1, 3)),
+    tex = np.kron(rng.normal(0, 18, (h // 8 + 1, w // 8 + 1, 1)),
                   np.ones((8, 8, 1)))[:h, :w]
+    ctex = np.kron(rng.normal(0, 5, (h // 16 + 1, w // 16 + 1, 3)),
+                   np.ones((16, 16, 1)))[:h, :w]
     off = [12, 0, -12] if color else [0, 0, 0]
-    return np.clip(base[..., None] + tex + off, 0, 255).astype(np.uint8)
+    return np.clip(base[..., None] + tex + ctex + off, 0, 255).astype(np.uint8)
 
 
 def encode(img, quality=90, subsampling=2, **kw):
@@ -109,33 +113,45 @@ def test_transcode_fallbacks():
 
 
 def test_device_reconstruction_matches_numpy():
-    """pack_dct_batch + ops.jpeg.reconstruct_plane == reconstruct_plane_np
-    on every plane, including escapes (|quantized AC| > 127)."""
+    """pack_dct_batch + ops.jpeg.reconstruct_plane_dense ==
+    reconstruct_plane_np on coefficients within the zigzag cutoff,
+    including escapes (|quantized AC| > 127), and the coalesced byte
+    buffer round-trips every field (layout + endianness pinned)."""
     import jax
     import jax.numpy as jnp
 
-    from tinyfaces_tpu.ops.jpeg import reconstruct_plane
+    from tinyfaces_tpu.ops.jpeg import reconstruct_plane_dense, wire_fields
 
     rng = np.random.default_rng(5)
     nby = nbx = 4  # 32x32 plane
     coef = np.zeros((nby * nbx, 64), np.int16)
     for b in range(nby * nbx):
         k = rng.integers(0, 10)
-        idx = rng.choice(np.arange(1, 64), size=k, replace=False)
+        idx = rng.choice(np.arange(1, jpegdct.Z_KEEP_Y + 1), size=k,
+                         replace=False)
         coef[b, idx] = rng.integers(-160, 160, size=k)  # some escapes
     coef[:, 0] = rng.integers(-200, 200, nby * nbx)
     q = rng.integers(1, 40, 64).astype(np.uint16)
 
     d = jpegdct.DCTImage(nby * 8, nbx * 8, coef.reshape(nby, nbx, 64),
                          None, None, q, None)
-    wire = jpegdct.pack_dct_batch([d], nby * 8 * 2, nbx * 8 * 2)
+    h0p = w0p = nby * 8 * 2
+    wire = jpegdct.pack_dct_batch([d], h0p, w0p)
+
+    fields = jax.jit(lambda w: wire_fields(w, h0p, w0p))(
+        jnp.asarray(wire["_wire"]))
+    for name in ("y_dc", "y_ac", "y_esc_idx", "y_esc_val", "q_y", "h0w0"):
+        np.testing.assert_array_equal(np.asarray(fields[name]),
+                                      np.asarray(wire[name]), err_msg=name)
+
     # grayscale: plane occupies the top-left quadrant of the 2x canvas
+    nh, nw = h0p // 8, w0p // 8
     out = jax.jit(
-        lambda w: reconstruct_plane(
-            w["y_dc"][0], w["y_cnt"][0], w["y_pos"][0], w["y_val"][0],
+        lambda w: reconstruct_plane_dense(
+            w["y_dc"][0], w["y_ac"][0].reshape(nh * nw, jpegdct.Z_KEEP_Y),
             w["y_esc_idx"][0], w["y_esc_val"][0], w["q_y"][0],
-            nbh=nby * 2, nbw=nbx * 2)
-    )({k: jnp.asarray(v) for k, v in wire.items()})
+            nbh=nh, nbw=nw)
+    )({k: jnp.asarray(np.asarray(v)) for k, v in wire.items()})
     ref = jpegdct.reconstruct_plane_np(coef.reshape(nby, nbx, 64), q)
     np.testing.assert_allclose(np.asarray(out)[:nby * 8, :nbx * 8], ref,
                                atol=1e-3)
@@ -262,24 +278,15 @@ def test_detector_jpegdct_transfer_matches_rgb():
 
 
 def test_native_pack_matches_numpy_oracle():
-    """tf_dct_pack_plane (C++) against the NumPy sparsify on real parsed
-    coefficients — bit-identical wire arrays, including spectral
-    truncation and escape handling."""
+    """tf_dct_pack_dense (C++) against the NumPy pack on real parsed
+    coefficients — bit-identical wire bytes, including escapes. quality
+    95 makes high zigzag coefficients (spectral truncation) and escapes
+    likely."""
     img = natural_image(248, 312, seed=11)
     d = jpegdct.parse_jpeg_dct(encode(img, quality=95))
-    for budget_kind in ("default", "tight"):
-        if budget_kind == "tight":
-            old = jpegdct.Y_SLOTS_PER_BLOCK, jpegdct.C_SLOTS_PER_BLOCK
-            jpegdct.Y_SLOTS_PER_BLOCK, jpegdct.C_SLOTS_PER_BLOCK = 3, 2
-        try:
-            wa = jpegdct.pack_dct_batch([d], 256, 320, use_native=True)
-            wb = jpegdct.pack_dct_batch([d], 256, 320, use_native=False)
-        finally:
-            if budget_kind == "tight":
-                jpegdct.Y_SLOTS_PER_BLOCK, jpegdct.C_SLOTS_PER_BLOCK = old
-        assert set(wa) == set(wb)
-        for k in wa:
-            np.testing.assert_array_equal(wa[k], wb[k], err_msg=f"{k} ({budget_kind})")
+    wa = jpegdct.pack_dct_batch([d], 256, 320, use_native=True)
+    wb = jpegdct.pack_dct_batch([d], 256, 320, use_native=False)
+    np.testing.assert_array_equal(wa["_wire"], wb["_wire"])
 
 
 # --- Minimal test-only baseline JPEG encoder (restart-interval coverage) --

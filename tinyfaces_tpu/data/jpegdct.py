@@ -73,13 +73,13 @@ def _bind(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.tf_jpeg_dct.restype = ctypes.c_int
-    lib.tf_dct_pack_plane.argtypes = [
+    lib.tf_dct_pack_dense.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_int16,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int16,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
     ]
-    lib.tf_dct_pack_plane.restype = None
+    lib.tf_dct_pack_dense.restype = None
     _bound = True
 
 
@@ -227,22 +227,27 @@ _clamped_escapes = 0
 
 
 def truncation_stats() -> dict:
-    """Spectral-truncation accounting: nonzero AC coefficients dropped when
-    a batch exceeded its slot budget, and escape values clamped to +-127
-    when the escape budget overflowed (both kept rare by the default
-    budgets; never silent)."""
+    """Spectral-truncation accounting: nonzero AC coefficients past the
+    zigzag cutoff (Z_KEEP_*), and escape values clamped to +-127 when the
+    escape budget overflowed (both rare at the defaults; never silent)."""
     return {"truncated_coeffs": _truncated_coeffs,
             "clamped_escapes": _clamped_escapes}
 
 
-# Slot budgets, in average coefficients per 8x8 block. The wire size IS the
-# budget (static shapes), so these set B/px directly: Y at 12/block with
-# int8 values + uint8 positions is 0.375 B/px; chroma at 8/block adds
-# ~0.125. Natural photos at JPEG quality ~85-92 average 6-14 nonzero Y ACs
-# per block; over-budget batches degrade gracefully by dropping the
-# highest-frequency coefficients (counted above).
-Y_SLOTS_PER_BLOCK = 12
-C_SLOTS_PER_BLOCK = 8
+# Zigzag cutoff per plane: each block ships its DC (int16) plus the first
+# Z quantized AC coefficients as dense int8 (JPEG's own progressive-scan
+# ordering: dropping the tail is a spectral low-pass). The wire size IS
+# the cutoff (static shapes): Y at Z=28 is 0.4375 B/px, chroma at Z=24
+# adds 0.1875, DC+escapes+qtables ~0.07 -> ~0.70 B/px total. Natural
+# photos at JPEG quality <=95 carry almost no energy past these cutoffs
+# (measured: zero luma tail past zigzag 24 even at q95 on textured
+# inputs; chroma tails only on synthetic full-amplitude color noise) —
+# any drop is counted in truncation_stats(). A dense layout needs NO
+# per-slot positions or counts, so the device reconstruction is one
+# (coeff @ basis) MXU matmul — the sparse scatter formulation it
+# replaces measured 423 ms/batch32 on TPU (docs/PERF.md round 3).
+Z_KEEP_Y = 28
+Z_KEEP_C = 24
 ESC_PER_BLOCK = 1 / 16
 
 
@@ -258,71 +263,50 @@ def _neutral_ycc() -> tuple[float, float, float]:
     return yy, cb, cr
 
 
-def _pack_plane(coef_zz, nbx_img, w_grid, out_dc, out_cnt, out_pos, out_val,
-                out_esc_idx, out_esc_val):
-    """Sparsify one image plane into its row of the batch arrays.
+def _pack_plane_dense(coef_zz, nbx_img, w_grid, z_keep, out_dc, out_ac,
+                      out_esc_idx, out_esc_val):
+    """NumPy oracle of tf_dct_pack_dense: zigzag-dense pack of one plane.
 
-    coef_zz: (nb_img, 64) int16 zigzag. Blocks land at canvas block id
-    by*w_grid + bx; slots are emitted in block order so the device can
-    recover block ids from the per-block counts alone."""
+    coef_zz: (nb_img, 64) int16 zigzag. Image blocks land at canvas block
+    id by*w_grid + bx; out_ac is (canvas_blocks, z_keep) int8."""
     global _truncated_coeffs, _clamped_escapes
     nb_img = coef_zz.shape[0]
-    budget = out_pos.shape[0]
-
-    mask = coef_zz != 0
-    mask[:, 0] = False
-    total = int(mask.sum())
-    if total > budget:
-        # Spectral truncation: drop the highest zigzag frequencies first
-        # (JPEG's own progressive ordering) until the batch fits.
-        hist = mask.sum(0)
-        keep_upto = int(np.searchsorted(np.cumsum(hist), budget, "right"))
-        mask[:, keep_upto:] = False
-        with _lock:
-            _truncated_coeffs += total - int(mask.sum())
-
-    # nonzero() walks blocks in image row-major order, which is ascending
-    # canvas-block-id order (nbx_img <= w_grid), so emitting slots in this
-    # order lets the device recover block ids from the counts alone.
-    rows, zz = np.nonzero(mask)
-    vals = coef_zz[rows, zz].astype(np.int16)
-    n = vals.shape[0]
-
-    counts = mask.sum(1).astype(np.uint8)
     img_cids = (np.arange(nb_img) // nbx_img) * w_grid + (
         np.arange(nb_img) % nbx_img)
-    out_cnt[img_cids] = counts
+
     out_dc[img_cids] = coef_zz[:, 0]
+    ac = coef_zz[:, 1:z_keep + 1].astype(np.int16)
+    small = np.clip(ac, -127, 127)
+    out_ac[img_cids] = small.astype(np.int8)
 
-    out_pos[:n] = ZIGZAG[zz]
-    small = np.clip(vals, -127, 127)
-    out_val[:n] = small.astype(np.int8)
-    esc = np.nonzero(vals != small)[0]
-    ne = min(esc.shape[0], out_esc_idx.shape[0])
-    if esc.shape[0] > ne:
+    rows, ks = np.nonzero(ac != small)
+    ne = min(rows.shape[0], out_esc_idx.shape[0])
+    if rows.shape[0] > ne:
         with _lock:
-            _clamped_escapes += esc.shape[0] - ne
-    out_esc_idx[:ne] = esc[:ne]
-    out_esc_val[:ne] = vals[esc[:ne]]
+            _clamped_escapes += rows.shape[0] - ne
+    out_esc_idx[:ne] = img_cids[rows[:ne]] * z_keep + ks[:ne]
+    out_esc_val[:ne] = ac[rows[:ne], ks[:ne]]
+
+    dropped = int(np.count_nonzero(coef_zz[:, z_keep + 1:]))
+    if dropped:
+        with _lock:
+            _truncated_coeffs += dropped
 
 
-def _pack_plane_native(lib, coef_zz, nbx_img, grid_h, grid_w, neutral_dc,
-                       out_dc, out_cnt, out_pos, out_val, out_esc_idx,
-                       out_esc_val) -> None:
-    """C++ fast path of _pack_plane (tf_dct_pack_plane); ~20x the NumPy
-    sparsify, oracle-pinned by tests/test_jpegdct.py."""
+def _pack_plane_dense_native(lib, coef_zz, nbx_img, grid_h, grid_w, z_keep,
+                             neutral_dc, out_dc, out_ac, out_esc_idx,
+                             out_esc_val) -> None:
+    """C++ fast path (tf_dct_pack_dense), oracle-pinned by tests."""
     global _truncated_coeffs, _clamped_escapes
     stats = np.zeros(2, np.int32)
     coef_zz = np.ascontiguousarray(coef_zz, np.int16)
-    lib.tf_dct_pack_plane(
+    lib.tf_dct_pack_dense(
         coef_zz.ctypes.data_as(ctypes.c_void_p),
         coef_zz.shape[0] // nbx_img, nbx_img, grid_h, grid_w,
-        out_pos.shape[0], out_esc_idx.shape[0],
+        z_keep, out_esc_idx.shape[0],
         ctypes.c_int16(int(neutral_dc)),
         out_dc.ctypes.data_as(ctypes.c_void_p),
-        out_cnt.ctypes.data_as(ctypes.c_void_p),
-        out_pos.ctypes.data_as(ctypes.c_void_p),
-        out_val.ctypes.data_as(ctypes.c_void_p),
+        out_ac.ctypes.data_as(ctypes.c_void_p),
         out_esc_idx.ctypes.data_as(ctypes.c_void_p),
         out_esc_val.ctypes.data_as(ctypes.c_void_p),
         stats.ctypes.data_as(ctypes.c_void_p),
@@ -333,70 +317,101 @@ def _pack_plane_native(lib, coef_zz, nbx_img, grid_h, grid_w, neutral_dc,
             _clamped_escapes += int(stats[1])
 
 
-def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
-                   use_native: bool = True) -> dict:
-    """Pack entropy-decoded images into the fixed-shape device wire arrays.
+def wire_layout(h0p: int, w0p: int) -> dict:
+    """Field -> (byte_offset, n_elements, dtype) layout of the coalesced
+    wire, plus "__total__" -> total bytes.
 
-    h0p/w0p: padded canvas (multiples of 16; evaluation buckets are x64).
-    Padding blocks decode to the MEAN_PIXEL canvas fill used everywhere
-    else. Returns the dict ops/jpeg.dct_batch_to_normalized consumes.
-    `use_native=False` forces the NumPy sparsify (the tested oracle).
+    ALL wire fields — per-plane DC planes, zigzag-dense AC tensors,
+    escape lists, qtables, and the per-image [h, w] meta — ride in ONE
+    byte buffer per batch: every H2D put pays the tunnel's per-transfer
+    latency (docs/PERF.md round 3), so the batch makes exactly one.
+    Offsets are pure functions of the canvas; the device slices and
+    bitcasts fields out for free (ops/jpeg.wire_fields). Regions are
+    naturally aligned.
     """
     assert h0p % 16 == 0 and w0p % 16 == 0, (h0p, w0p)
-    b = len(dcts)
-    w8, nb = w0p // 8, (h0p // 8) * (w0p // 8)
-    w16, nbc = w0p // 16, (h0p // 16) * (w0p // 16)
-    sy = nb * Y_SLOTS_PER_BLOCK
-    sc = nbc * C_SLOTS_PER_BLOCK
+    nb = (h0p // 8) * (w0p // 8)
+    nbc = (h0p // 16) * (w0p // 16)
     ey = max(16, int(nb * ESC_PER_BLOCK))
     ec = max(16, int(nbc * ESC_PER_BLOCK))
 
+    layout = {}
+    off = 0
+
+    def add(name, n, dtype):
+        nonlocal off
+        item = np.dtype(dtype).itemsize
+        off = (off + item - 1) // item * item  # natural alignment
+        layout[name] = (off, n, np.dtype(dtype))
+        off += n * item
+
+    add("h0w0", 2, np.int32)
+    add("y_esc_idx", ey, np.int32)
+    add("u_esc_idx", ec, np.int32)
+    add("v_esc_idx", ec, np.int32)
+    add("y_dc", nb, np.int16)
+    add("u_dc", nbc, np.int16)
+    add("v_dc", nbc, np.int16)
+    add("y_esc_val", ey, np.int16)
+    add("u_esc_val", ec, np.int16)
+    add("v_esc_val", ec, np.int16)
+    add("q_y", 64, np.uint16)
+    add("q_c", 64, np.uint16)
+    add("y_ac", nb * Z_KEEP_Y, np.int8)
+    add("u_ac", nbc * Z_KEEP_C, np.int8)
+    add("v_ac", nbc * Z_KEEP_C, np.int8)
+    layout["__total__"] = (off + 3) // 4 * 4
+    return layout
+
+
+def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
+                   use_native: bool = True) -> dict:
+    """Pack entropy-decoded images into the fixed-shape device wire.
+
+    h0p/w0p: padded canvas (multiples of 16; evaluation buckets are x64).
+    Padding blocks decode to the MEAN_PIXEL canvas fill used everywhere
+    else. Returns {"_wire": (B, total_bytes) uint8} — the single H2D
+    payload — plus zero-copy per-field views for inspection/tests.
+    `use_native=False` forces the NumPy pack (the tested oracle).
+    """
+    b = len(dcts)
+    w8 = w0p // 8
+    w16 = w0p // 16
+    h8, h16 = h0p // 8, h0p // 16
+
+    layout = wire_layout(h0p, w0p)
+    total = layout.pop("__total__")
+    wire = {"_wire": np.zeros((b, total), np.uint8)}
+    for name, (off, n, dtype) in layout.items():
+        wire[name] = wire["_wire"][:, off:off + n * dtype.itemsize].view(dtype)
+    for p in ("y", "u", "v"):
+        wire[f"{p}_esc_idx"].fill(-1)
+    for i, d in enumerate(dcts):
+        wire["h0w0"][i] = (d.h, d.w)
+
     yn, cbn, crn = _neutral_ycc()
-
-    wire = {
-        "y_dc": np.empty((b, nb), np.int16),
-        "y_cnt": np.zeros((b, nb), np.uint8),
-        "y_pos": np.zeros((b, sy), np.uint8),
-        "y_val": np.zeros((b, sy), np.int8),
-        "y_esc_idx": np.full((b, ey), -1, np.int32),
-        "y_esc_val": np.zeros((b, ey), np.int16),
-        "q_y": np.empty((b, 64), np.uint16),
-        "q_c": np.empty((b, 64), np.uint16),
-    }
-    for p in ("u", "v"):
-        wire[f"{p}_dc"] = np.empty((b, nbc), np.int16)
-        wire[f"{p}_cnt"] = np.zeros((b, nbc), np.uint8)
-        wire[f"{p}_pos"] = np.zeros((b, sc), np.uint8)
-        wire[f"{p}_val"] = np.zeros((b, sc), np.int8)
-        wire[f"{p}_esc_idx"] = np.full((b, ec), -1, np.int32)
-        wire[f"{p}_esc_val"] = np.zeros((b, ec), np.int16)
-
     lib = _native._load() if use_native else None
-    h16 = h0p // 16
 
-    def pack_one(coef, nbx_img, grid_h, grid_w, neutral_dc, p, i):
-        """Sparsify one plane into its slice of the batch arrays."""
+    def pack_one(coef, nbx_img, grid_h, grid_w, z_keep, neutral_dc, p, i):
+        ac = wire[f"{p}_ac"][i].reshape(grid_h * grid_w, z_keep)
         if lib is not None:
-            _pack_plane_native(
-                lib, coef, nbx_img, grid_h, grid_w, neutral_dc,
-                wire[f"{p}_dc"][i], wire[f"{p}_cnt"][i], wire[f"{p}_pos"][i],
-                wire[f"{p}_val"][i], wire[f"{p}_esc_idx"][i],
-                wire[f"{p}_esc_val"][i])
+            _pack_plane_dense_native(
+                lib, coef, nbx_img, grid_h, grid_w, z_keep, neutral_dc,
+                wire[f"{p}_dc"][i], ac,
+                wire[f"{p}_esc_idx"][i], wire[f"{p}_esc_val"][i])
         else:
             wire[f"{p}_dc"][i] = neutral_dc
-            _pack_plane(coef, nbx_img, grid_w,
-                        wire[f"{p}_dc"][i], wire[f"{p}_cnt"][i],
-                        wire[f"{p}_pos"][i], wire[f"{p}_val"][i],
-                        wire[f"{p}_esc_idx"][i], wire[f"{p}_esc_val"][i])
+            _pack_plane_dense(coef, nbx_img, grid_w, z_keep,
+                              wire[f"{p}_dc"][i], ac,
+                              wire[f"{p}_esc_idx"][i],
+                              wire[f"{p}_esc_val"][i])
 
     def pack_image(i: int) -> None:
         d = dcts[i]
-        qy_rm = np.empty(64, np.uint16)
-        qy_rm[ZIGZAG] = d.qy
-        wire["q_y"][i] = qy_rm
-        qc_rm = np.empty(64, np.uint16)
-        qc_rm[ZIGZAG] = d.qc if d.qc is not None else d.qy
-        wire["q_c"][i] = qc_rm
+        # qtables ship in ZIGZAG order — the AC tensors are zigzag-dense
+        # and the device basis matrix is zigzag-indexed (ops/jpeg.py).
+        wire["q_y"][i] = d.qy
+        wire["q_c"][i] = d.qc if d.qc is not None else d.qy
 
         # Neutral (canvas-fill) DC for blocks no image content covers. The
         # quantized DC of a flat block of value v is 8*(v-128)/q.
@@ -405,19 +420,17 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
         ndc_u = np.round(8.0 * (cbn - 128.0) / qc0)
         ndc_v = np.round(8.0 * (crn - 128.0) / qc0)
 
-        pack_one(d.y.reshape(-1, 64), d.y.shape[1], h0p // 8, w8,
+        pack_one(d.y.reshape(-1, 64), d.y.shape[1], h8, w8, Z_KEEP_Y,
                  ndc_y, "y", i)
         if d.cb is not None:
             pack_one(d.cb.reshape(-1, 64), d.cb.shape[1], h16, w16,
-                     ndc_u, "u", i)
+                     Z_KEEP_C, ndc_u, "u", i)
             pack_one(d.cr.reshape(-1, 64), d.cr.shape[1], h16, w16,
-                     ndc_v, "v", i)
+                     Z_KEEP_C, ndc_v, "v", i)
         else:
             # Grayscale: flat neutral-gray chroma (Cb = Cr = 128 -> DC 0).
             wire["u_dc"][i] = 0
-            wire["u_cnt"][i] = 0
             wire["v_dc"][i] = 0
-            wire["v_cnt"][i] = 0
 
     if lib is not None and b > 1:
         # images write disjoint batch rows; the C++ packer drops the GIL
@@ -433,5 +446,5 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
 
 
 def wire_bytes(wire: dict) -> int:
-    """Total H2D payload of a packed batch (for benchmarks/diagnostics)."""
-    return sum(a.nbytes for a in wire.values())
+    """Total H2D payload of a packed batch (the single coalesced array)."""
+    return wire["_wire"].nbytes

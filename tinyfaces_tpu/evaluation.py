@@ -240,10 +240,16 @@ class PyramidDetector:
             # halves the unpack+resize stages' HBM traffic for bf16
             # inference (the first conv casts anyway).
             if transfer == "jpegdct":
-                from tinyfaces_tpu.ops.jpeg import dct_batch_to_normalized
+                from tinyfaces_tpu.ops.jpeg import (
+                    dct_batch_to_normalized, wire_fields,
+                )
 
-                b = images_in["y_dc"].shape[0]
-                x0 = dct_batch_to_normalized(images_in, h0p, w0p,
+                b = images_in["_wire"].shape[0]
+                fields = wire_fields(images_in["_wire"], h0p, w0p)
+                # per-image true sizes ride inside the wire buffer
+                h0 = fields["h0w0"][:, 0]
+                w0 = fields["h0w0"][:, 1]
+                x0 = dct_batch_to_normalized(fields, h0p, w0p,
                                              dtype=self.model.dtype)
             elif transfer == "yuv420":
                 from tinyfaces_tpu.data.targets import yuv420_to_normalized
@@ -434,7 +440,10 @@ class PyramidDetector:
             ws = [d.w for d in dcts]
             h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
             wire = jpegdct.pack_dct_batch(dcts, h0p, w0p)
-            images_j = {k: jnp.asarray(v) for k, v in wire.items()}
+            # ONE coalesced H2D put per batch — every put pays the
+            # tunnel's per-transfer latency (docs/PERF.md round 3); the
+            # per-image sizes ride inside as the h0w0 field.
+            images_j = {"_wire": jnp.asarray(wire["_wire"])}
         else:
             hs = [im.shape[0] for im in images]
             ws = [im.shape[1] for im in images]
@@ -458,8 +467,13 @@ class PyramidDetector:
                 images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
             else:
                 images_j = jnp.asarray(batch)
-        hs_j = jnp.asarray(hs, jnp.int32)
-        ws_j = jnp.asarray(ws, jnp.int32)
+        if self.transfer == "jpegdct":
+            # per-image sizes ride inside the wire buffer (h0w0 field) —
+            # no separate put
+            hs_j = ws_j = None
+        else:
+            hs_j = jnp.asarray(hs, jnp.int32)
+            ws_j = jnp.asarray(ws, jnp.int32)
         if self.mesh is not None:
             from tinyfaces_tpu.parallel.mesh import batch_sharding, replicate
             from tinyfaces_tpu.parallel.spatial import choose_eval_sharding
@@ -475,7 +489,8 @@ class PyramidDetector:
                 if sh.spec == batch_sharding(self.mesh).spec
                 else replicate(self.mesh)
             )
-            hs_j, ws_j = (jax.device_put(a, vec_sh) for a in (hs_j, ws_j))
+            if hs_j is not None:
+                hs_j, ws_j = (jax.device_put(a, vec_sh) for a in (hs_j, ws_j))
         return self._fused_pyramid(
             self.variables, self.templates_j,
             images_j, hs_j, ws_j,

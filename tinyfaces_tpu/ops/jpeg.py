@@ -1,29 +1,32 @@
 """JPEG DCT-domain wire format — device half.
 
-Consumes the sparse quantized-coefficient arrays packed by
+Consumes the single coalesced byte buffer packed by
 data/jpegdct.pack_dct_batch and reconstructs normalized RGB entirely on
 the TPU, fused into the consuming program (the pyramid in evaluation.py):
 
-  scatter sparse coeffs -> dense blocks   (one scatter-add per plane)
-  dequantize                              (elementwise, per-image qtable)
-  8x8 IDCT                                (two 8x8 matmuls per block — MXU)
-  block grid -> plane                     (reshape/transpose)
-  chroma fancy upsample (libjpeg h2v2)    (separable 3/4-1/4 triangle)
-  BT.601 -> RGB, /255, clip, normalize    (elementwise, fused)
+  slice + bitcast fields out of the byte buffer    (free)
+  dequantize the zigzag-dense int8 AC tensor       (elementwise)
+  dezigzag + 8x8 IDCT as ONE (Z+1, 64) basis matmul (MXU)
+  block grid -> plane                              (reshape/transpose)
+  chroma fancy upsample (libjpeg h2v2)             (separable 3/4-1/4)
+  BT.601 -> RGB, /255, clip, normalize             (elementwise, fused)
 
-This moves the expensive half of JPEG decoding off the host (the reference
-decodes fully on the host, tinyfaces/datasets/wider_face.py:197-199) and
-cuts the H2D wire to roughly what the JPEG file itself carries.
+Design history (docs/PERF.md round 3): the first wire format shipped
+sparse (position, value) coefficient streams — denser on the wire in
+theory, but the device-side scatter reconstruction measured 423 ms per
+batch-32 on TPU (XLA scatters serialize) and capped e2e throughput. The
+zigzag-dense layout removes positions/counts entirely; dezigzag and the
+2-D IDCT collapse into one precomputed (64, 64) basis matrix, so
+reconstruction is a clean MXU matmul over (blocks, Z+1) coefficients.
 
-Numerics: reconstruction runs in fp32 (bf16 mantissa would corrupt large
-DC terms); the plane is cast to the model compute dtype afterwards. The
-result matches libjpeg's decode within +-2/255 per channel (integer-IDCT
-and rounding differences; see tests/test_jpegdct.py).
+This moves the expensive half of JPEG decoding off the host (the
+reference decodes fully on the host, tinyfaces/datasets/
+wider_face.py:197-199). Numerics: fp32 reconstruction (bf16 mantissa
+would corrupt large DC terms); matches libjpeg's decode within +-2/255
+per channel (integer-IDCT and rounding differences; tests/test_jpegdct.py).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -40,48 +43,50 @@ def _idct_matrix() -> np.ndarray:
     return m
 
 
-_IDCT_M = _idct_matrix()
+def _zigzag_basis() -> np.ndarray:
+    """(64, 64) matrix: row z = the 8x8 pixel basis (flattened row-major)
+    of the z-th ZIGZAG coefficient — dezigzag and the 2-D IDCT in one
+    matmul: pixels = coeff_zz @ BASIS."""
+    from tinyfaces_tpu.data.jpegdct import ZIGZAG
+
+    m = _idct_matrix()
+    basis = np.zeros((64, 64))
+    for z in range(64):
+        rm = int(ZIGZAG[z])
+        u, v = rm // 8, rm % 8
+        basis[z] = np.outer(m[u], m[v]).reshape(64)
+    return basis
 
 
-def reconstruct_plane(
+_BASIS_ZZ = _zigzag_basis()
+
+
+def reconstruct_plane_dense(
     dc: jnp.ndarray,       # (NB,) int16 quantized DC
-    cnt: jnp.ndarray,      # (NB,) uint8 AC count per block
-    pos: jnp.ndarray,      # (S,) uint8 row-major in-block position 1..63
-    val: jnp.ndarray,      # (S,) int8 quantized AC value (clamped)
-    esc_idx: jnp.ndarray,  # (E,) int32 slot index of |AC| > 127, -1 = unused
-    esc_val: jnp.ndarray,  # (E,) int16 true value for escaped slots
-    qtab: jnp.ndarray,     # (64,) uint16 quant table, ROW-MAJOR order
+    ac: jnp.ndarray,       # (NB, Z) int8 quantized zigzag ACs (clamped)
+    esc_idx: jnp.ndarray,  # (E,) int32 flat index into NB*Z, -1 = unused
+    esc_val: jnp.ndarray,  # (E,) int16 true value for escaped entries
+    qtab: jnp.ndarray,     # (64,) uint16 quant table, ZIGZAG order
     nbh: int,
     nbw: int,
 ) -> jnp.ndarray:
-    """Sparse quantized coefficients -> (nbh*8, nbw*8) fp32 plane [0, 255]."""
-    nb = nbh * nbw
-    s = pos.shape[0]
+    """Zigzag-dense quantized coefficients -> (nbh*8, nbw*8) fp32 plane
+    in [0, 255]: dequant + dezigzag + IDCT as one basis matmul."""
+    nb, z = ac.shape
 
-    vals = val.astype(jnp.float32)
+    acf = ac.astype(jnp.float32).reshape(nb * z)
     # Escaped values (|quantized AC| > 127, rare): overwrite the clamped
-    # int8 with the true int16. Inactive escapes point past the stream.
-    eidx = jnp.where(esc_idx >= 0, esc_idx, s)
-    vals = vals.at[eidx].set(esc_val.astype(jnp.float32), mode="drop")
+    # int8 with the true int16. Inactive escapes point out of range.
+    eidx = jnp.where(esc_idx >= 0, esc_idx, nb * z)
+    acf = acf.at[eidx].set(esc_val.astype(jnp.float32), mode="drop")
+    acf = acf.reshape(nb, z)
 
-    # Slot -> block: slots are stored grouped by block in block order, so
-    # block_id = #blocks whose cumulative count is <= slot index.
-    offsets = jnp.cumsum(cnt.astype(jnp.int32))
-    slot = jnp.arange(s, dtype=jnp.int32)
-    block_id = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
-    valid = slot < offsets[-1]
+    qf = qtab.astype(jnp.float32)
+    coeff = jnp.concatenate(
+        [dc.astype(jnp.float32)[:, None] * qf[0], acf * qf[1:z + 1]], axis=1)
+    basis = jnp.asarray(_BASIS_ZZ[: z + 1], jnp.float32)
+    px = jnp.dot(coeff, basis, preferred_element_type=jnp.float32)
 
-    posi = pos.astype(jnp.int32)
-    dq = vals * qtab.astype(jnp.float32)[posi]
-    flat = jnp.where(valid, block_id * 64 + posi, nb * 64)
-    dense = jnp.zeros((nb * 64,), jnp.float32).at[flat].add(dq, mode="drop")
-    dense = dense.reshape(nb, 64)
-    dense = dense.at[:, 0].set(dc.astype(jnp.float32) * qtab[0].astype(jnp.float32))
-
-    f = dense.reshape(nb, 8, 8)
-    m = jnp.asarray(_IDCT_M, jnp.float32)
-    px = jnp.einsum("ux,nuv,vy->nxy", m, f, m,
-                    preferred_element_type=jnp.float32)
     plane = px.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3).reshape(
         nbh * 8, nbw * 8)
     return jnp.clip(plane + 128.0, 0.0, 255.0)
@@ -135,20 +140,55 @@ def ycc_planes_to_normalized(
     return ((x - mean) / std).astype(dtype)
 
 
+def wire_fields(wire_u8: jnp.ndarray, h0p: int, w0p: int) -> dict:
+    """Slice + bitcast every logical field out of the (B, total_bytes)
+    coalesced wire buffer. Free inside the compiled program (static
+    offsets); multi-byte fields bitcast from adjacent byte pairs/quads
+    (both host and XLA are little-endian — pinned by tests)."""
+    from tinyfaces_tpu.data.jpegdct import wire_layout
+
+    layout = wire_layout(h0p, w0p)
+    layout.pop("__total__")
+    fields = {}
+    for name, (off, n, npdtype) in layout.items():
+        width = npdtype.itemsize
+        raw = wire_u8[:, off:off + n * width]
+        if width == 1:
+            arr = raw
+            if npdtype == np.int8:
+                arr = jax.lax.bitcast_convert_type(arr, jnp.int8)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                raw.reshape(raw.shape[0], n, width),
+                getattr(jnp, npdtype.name))
+        fields[name] = arr
+    return fields
+
+
 def dct_batch_to_normalized(wire: dict, h0p: int, w0p: int,
                             dtype=jnp.float32) -> jnp.ndarray:
-    """Device-side unpack of pack_dct_batch's arrays -> normalized RGB
-    (B, h0p, w0p, 3). Fuses into the consuming jitted program."""
+    """Device-side unpack of pack_dct_batch's wire -> normalized RGB
+    (B, h0p, w0p, 3). Fuses into the consuming jitted program. Accepts
+    {"_wire": bytes} (production: ONE H2D put) or the per-field dict
+    (tests)."""
+    if "_wire" in wire:
+        wire = wire_fields(wire["_wire"], h0p, w0p)
     nbh, nbw = h0p // 8, w0p // 8
     nbch, nbcw = h0p // 16, w0p // 16
 
-    rec_y = jax.vmap(partial(reconstruct_plane, nbh=nbh, nbw=nbw))
-    rec_c = jax.vmap(partial(reconstruct_plane, nbh=nbch, nbw=nbcw))
+    def rec(p, nh, nw, z):
+        ac = wire[f"{p}_ac"]
+        b = ac.shape[0]
+        return jax.vmap(
+            lambda d, a, ei, ev, q: reconstruct_plane_dense(
+                d, a, ei, ev, q, nbh=nh, nbw=nw)
+        )(wire[f"{p}_dc"], ac.reshape(b, nh * nw, z),
+          wire[f"{p}_esc_idx"], wire[f"{p}_esc_val"],
+          wire["q_y" if p == "y" else "q_c"])
 
-    y = rec_y(wire["y_dc"], wire["y_cnt"], wire["y_pos"], wire["y_val"],
-              wire["y_esc_idx"], wire["y_esc_val"], wire["q_y"])
-    cb = rec_c(wire["u_dc"], wire["u_cnt"], wire["u_pos"], wire["u_val"],
-               wire["u_esc_idx"], wire["u_esc_val"], wire["q_c"])
-    cr = rec_c(wire["v_dc"], wire["v_cnt"], wire["v_pos"], wire["v_val"],
-               wire["v_esc_idx"], wire["v_esc_val"], wire["q_c"])
+    from tinyfaces_tpu.data.jpegdct import Z_KEEP_C, Z_KEEP_Y
+
+    y = rec("y", nbh, nbw, Z_KEEP_Y)
+    cb = rec("u", nbch, nbcw, Z_KEEP_C)
+    cr = rec("v", nbch, nbcw, Z_KEEP_C)
     return ycc_planes_to_normalized(y, cb, cr, dtype=dtype)

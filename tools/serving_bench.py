@@ -32,9 +32,11 @@ def natural_images(n, h, w, seed=0):
     base = 128 + 60 * np.sin(xx / 97.0) + 40 * np.cos(yy / 61.0)
     out = []
     for _ in range(n):
-        tex = np.kron(rng.normal(0, 18, (h // 8, w // 8, 3)),
+        tex = np.kron(rng.normal(0, 18, (h // 8, w // 8, 1)),
                       np.ones((8, 8, 1)))
-        out.append(np.clip(base[..., None] + tex + [12, 0, -12],
+        ctex = np.kron(rng.normal(0, 5, (h // 16, w // 16, 3)),
+                       np.ones((16, 16, 1)))
+        out.append(np.clip(base[..., None] + tex + ctex + [12, 0, -12],
                            0, 255).astype(np.uint8))
     return out
 
