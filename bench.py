@@ -103,18 +103,29 @@ def main():
             buf = io.BytesIO()
             Image.fromarray(im).save(buf, "JPEG", quality=90, subsampling=2)
             jpegs.append(buf.getvalue())
-        pool = ThreadPoolExecutor(4)
+
+        rot = [0]
 
         def make_inputs():
-            # entropy decode in threads (C++ releases the GIL); pack and
-            # upload happen inside detect_batch_async
-            return list(pool.map(jpegdct.parse_jpeg_dct, jpegs))
+            # raw JPEG bytes: the fused C++ entropy-decode + pack runs
+            # inside detect_batch_async (single pass, no intermediate
+            # coefficient buffers). Rotate the batch order per dispatch so
+            # no two wire buffers are byte-identical — the transport
+            # memoizes identical transfers/executions (docs/PERF.md), and
+            # a production stream never repeats a batch.
+            k = rot[0] % batch
+            rot[0] += 1
+            return jpegs[k:] + jpegs[:k]
 
         wire_bytes = jpegdct.wire_bytes(
-            jpegdct.pack_dct_batch(make_inputs(), h, w)) / batch
+            jpegdct.pack_dct_batch(jpegs, h, w)) / batch
     else:
+        rot = [0]
+
         def make_inputs():
-            return images
+            k = rot[0] % batch
+            rot[0] += 1
+            return images[k:] + images[:k]
 
         wire_bytes = h * w * (1.5 if transfer == "yuv420" else 3.0)
 
@@ -133,30 +144,40 @@ def main():
     dets = detector.detect_batch(make_inputs())[-1]
     warmup_s = time.time() - t0
 
-    # single-image latency (one fused dispatch; separate B=1 program)
-    one = [make_inputs()[0]]
-    detector.detect_batch(one)  # warmup compile
+    # single-image latency (one fused dispatch; separate B=1 program);
+    # a distinct image per iteration — identical dispatches are memoized
+    # by the transport (docs/PERF.md)
+    detector.detect_batch([make_inputs()[0]])  # warmup compile
     t0 = time.time()
     lat_iters = 5
     for _ in range(lat_iters):
-        detector.detect_batch(one)
+        detector.detect_batch([make_inputs()[0]])
     lat_ms = (time.time() - t0) / lat_iters * 1e3
 
     # Pipelined throughput: keep DEPTH batches in flight so host prep and
     # H2D overlap device compute (depth 3 measured best on the tunnel).
+    # Host prep (C++ entropy decode + pack + upload — all GIL-releasing)
+    # runs on a single submission worker so it overlaps the main thread's
+    # fetch waits: with one host core, a synchronous decode in the fetch
+    # loop leaves the core idle during every network wait (measured 58.8
+    # img/s vs the 76.6 img/s jpegdct device ceiling, docs/PERF.md). This
+    # mirrors the production evaluate_model pipeline (worker-thread decode
+    # -> in-flight fused dispatches).
     iters = int(os.environ.get("BENCH_ITERS", str(max(2, 128 // batch))))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    submit = ThreadPoolExecutor(1)  # serializes dispatch order
 
     def run_window():
         q = collections.deque()
         t0 = time.time()
         for _ in range(iters):
-            q.append(detector.detect_batch_async(make_inputs()))
+            q.append(submit.submit(
+                lambda: detector.detect_batch_async(make_inputs())))
             if len(q) > depth:
-                detector._fetch(q.popleft())
+                detector._fetch(q.popleft().result())
         last = None
         while q:
-            last = detector._fetch(q.popleft())[-1]
+            last = detector._fetch(q.popleft().result())[-1]
         return iters * batch / (time.time() - t0), last
 
     # Steady-state gating: executable upload / cache effects make early

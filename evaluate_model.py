@@ -129,7 +129,13 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     fetch = dataset.get_dct if jpegdct else dataset.__getitem__
 
     def dims(item):
-        return (item.h, item.w) if jpegdct else item.shape[:2]
+        if not jpegdct:
+            return item.shape[:2]
+        if isinstance(item, (bytes, bytearray, memoryview)):
+            from tinyfaces_tpu.data.jpegdct import jpeg_dims
+
+            return jpeg_dims(bytes(item))  # get_dct guaranteed parseable
+        return (item.h, item.w)
 
     if host_resize or eval_batch <= 1:
         for i in indices:
@@ -166,14 +172,21 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
 
     def settle(entry):
         nonlocal done, dets
-        items, async_result = entry
-        results = detector._fetch(async_result)
+        items, submitted = entry
+        results = detector._fetch(submitted.result())
         for (im, img_path), d in zip(items, results):
             write_results(d, img_path, split, results_dir)
             dets = d
             done += 1
             if done % 25 == 0 or done == n:
                 print(f"[{done}/{n}] {img_path}: {d.shape[0]} detections")
+
+    # Host prep (fused C++ entropy-decode + pack + upload, all
+    # GIL-releasing) runs on a single submission worker so it overlaps the
+    # main thread's fetch waits — on a 1-core host a synchronous pack in
+    # the flush path leaves the core idle during every network wait
+    # (bench.py measured the same structure best on the tunnel).
+    submit_pool = ThreadPoolExecutor(1)  # one worker: keeps dispatch order
 
     def flush(bucket):
         items = groups.pop(bucket)
@@ -182,7 +195,9 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         # shapes); surplus outputs are discarded
         imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
         pending.append(
-            (items, detector.detect_batch_async(imgs, prob_thresh, nms_thresh))
+            (items,
+             submit_pool.submit(detector.detect_batch_async, imgs,
+                                prob_thresh, nms_thresh))
         )
         while len(pending) > inflight:
             settle(pending.popleft())
@@ -209,6 +224,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             flush(bucket)
         while pending:
             settle(pending.popleft())
+    submit_pool.shutdown(wait=True)
     return dets
 
 

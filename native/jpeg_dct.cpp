@@ -17,6 +17,7 @@
 // This is an independent implementation from the JPEG spec (ITU T.81);
 // no code is derived from libjpeg.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -64,6 +65,27 @@ struct BitReader {
   // synthesizes zero bytes (valid streams terminate on their own EOBs —
   // the libjpeg convention for the final lookahead).
   inline void refill() {
+    if (nbits > 48) return;
+    // Fast path: the next 8 bytes contain no 0xFF (no stuffing, no
+    // marker), so append floor((64-nbits)/8) of them in one 64-bit op.
+    // 0xFF detection is the SWAR zero-byte test applied to ~chunk.
+    if (end - p >= 8) {
+      uint64_t chunk;
+      std::memcpy(&chunk, p, 8);
+      if (!((~chunk - 0x0101010101010101ULL) & chunk &
+            0x8080808080808080ULL)) {
+        chunk = __builtin_bswap64(chunk);
+        int take = (64 - nbits) >> 3;
+        if (take == 8) {
+          acc = chunk;
+        } else {
+          acc = (acc << (take * 8)) | (chunk >> (64 - take * 8));
+        }
+        p += take;
+        nbits += take * 8;
+        return;
+      }
+    }
     while (nbits <= 48) {
       uint8_t b = 0;
       if (p < end) {
@@ -303,6 +325,35 @@ inline bool decode_block(BitReader& br, Component& c, const HuffTable& dc,
   return true;
 }
 
+// Zigzag-dense pack of one decoded block (wire v3): DC int16, first
+// z_keep ACs clamped int8, |q|>127 to the escape list, tail nonzeros
+// counted as spectral truncation. Shared by tf_dct_pack_dense and the
+// fused tf_jpeg_dct_pack so both stay bit-identical to the NumPy oracle.
+inline void pack_block(const int16_t* c, long cid, int z_keep, long esc_cap,
+                       int16_t* dc, int8_t* ac, int32_t* esc_idx,
+                       int16_t* esc_val, long* n_esc, int32_t* stats) {
+  dc[cid] = c[0];
+  int8_t* out = ac + cid * z_keep;
+  for (int k = 1; k <= z_keep; ++k) {
+    int16_t v = c[k];
+    if (!v) continue;
+    if (v > 127 || v < -127) {
+      if (*n_esc < esc_cap) {
+        esc_idx[*n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
+        esc_val[*n_esc] = v;
+        ++*n_esc;
+      } else {
+        ++stats[1];
+      }
+      out[k - 1] = v > 0 ? 127 : -127;
+    } else {
+      out[k - 1] = static_cast<int8_t>(v);
+    }
+  }
+  for (int k = z_keep + 1; k < 64; ++k)
+    if (c[k]) ++stats[0];
+}
+
 }  // namespace
 
 extern "C" {
@@ -434,29 +485,125 @@ void tf_dct_pack_dense(const int16_t* coef_zz, int gby, int gbx, int cnh,
   for (int by = 0; by < gby; ++by) {
     for (int bx = 0; bx < gbx; ++bx) {
       const int16_t* c = coef_zz + (static_cast<long>(by) * gbx + bx) * 64;
-      const long cid = static_cast<long>(by) * cnw + bx;
-      dc[cid] = c[0];
-      int8_t* out = ac + cid * z_keep;
-      for (int k = 1; k <= z_keep; ++k) {
-        int16_t v = c[k];
-        if (!v) continue;
-        if (v > 127 || v < -127) {
-          if (n_esc < esc_cap) {
-            esc_idx[n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
-            esc_val[n_esc] = v;
-            ++n_esc;
-          } else {
-            ++stats[1];
-          }
-          out[k - 1] = v > 0 ? 127 : -127;
-        } else {
-          out[k - 1] = static_cast<int8_t>(v);
-        }
-      }
-      for (int k = z_keep + 1; k < 64; ++k)
-        if (c[k]) ++stats[0];
+      pack_block(c, static_cast<long>(by) * cnw + bx, z_keep, esc_cap,
+                 dc, ac, esc_idx, esc_val, &n_esc, stats);
     }
   }
+}
+
+// Fused entropy-decode + zigzag-dense pack: JPEG bytes -> wire fields
+// directly, skipping the intermediate (nblocks, 64) int16 coefficient
+// buffers of tf_jpeg_dct + tf_dct_pack_dense (a ~1.5 MB/image write +
+// re-read on the single-core host). Baseline 4:2:0 color or grayscale
+// only — anything else returns an error and the caller takes the
+// transcode + two-pass path.
+//   cnh8/cnw8: Y canvas block grid (h0p/8, w0p/8); chroma uses half.
+//   neutral_*: canvas fill in YCbCr pixel domain; uncovered canvas
+//   blocks get the flat-block quantized DC round(8*(v-128)/q[0]).
+//   Grayscale: chroma planes get DC 0 (=128 gray) and q_c = q_y.
+//   hw_out: [h, w]. stats: [truncated_coeffs, clamped_escapes].
+// Initializes every output region it owns (caller may pass
+// uninitialized memory). Returns 0 or a negative error.
+int tf_jpeg_dct_pack(const uint8_t* data, long len, int cnh8, int cnw8,
+                     int z_keep_y, int z_keep_c, long esc_cap_y,
+                     long esc_cap_c, float neutral_y, float neutral_cb,
+                     float neutral_cr, int16_t* y_dc, int8_t* y_ac,
+                     int32_t* y_esc_idx, int16_t* y_esc_val, int16_t* u_dc,
+                     int8_t* u_ac, int32_t* u_esc_idx, int16_t* u_esc_val,
+                     int16_t* v_dc, int8_t* v_ac, int32_t* v_esc_idx,
+                     int16_t* v_esc_val, uint16_t* q_y, uint16_t* q_c,
+                     int32_t* hw_out, int32_t* stats) {
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc) return rc;
+  // Single-component scans are non-interleaved (T.81 A.2.3): sampling
+  // factors don't scale the block grid.
+  if (ps.ncomp == 1) {
+    ps.comp[0].hs = 1;
+    ps.comp[0].vs = 1;
+  } else if (ps.comp[0].hs != 2 || ps.comp[0].vs != 2) {
+    return ERR_BAD_SAMPLING;  // fused path is 4:2:0-only
+  }
+  const int hs = ps.comp[0].hs, vs = ps.comp[0].vs;
+  const int mcus_x = (ps.w + 8 * hs - 1) / (8 * hs);
+  const int mcus_y = (ps.h + 8 * vs - 1) / (8 * vs);
+  const int cnh16 = cnh8 / 2, cnw16 = cnw8 / 2;
+  if (mcus_y * vs > cnh8 || mcus_x * hs > cnw8) return ERR_BUFFER;
+  if (ps.ncomp == 3 && (mcus_y > cnh16 || mcus_x > cnw16)) return ERR_BUFFER;
+  for (int c = 0; c < ps.ncomp; ++c)
+    if (!ps.hdc[ps.comp[c].td].defined || !ps.hac[ps.comp[c].ta].defined)
+      return ERR_BAD_HUFFMAN;
+
+  for (int i = 0; i < 64; ++i) {
+    q_y[i] = ps.qtab[ps.comp[0].tq][i];
+    q_c[i] = ps.ncomp == 3 ? ps.qtab[ps.comp[1].tq][i] : q_y[i];
+  }
+  const auto flat_dc = [](float v, uint16_t q) {
+    return static_cast<int16_t>(
+        std::lround(8.0 * (v - 128.0) / (q ? q : 1)));
+  };
+  const int16_t ndc_y = flat_dc(neutral_y, q_y[0]);
+  const int16_t ndc_u = ps.ncomp == 3 ? flat_dc(neutral_cb, q_c[0])
+                                      : static_cast<int16_t>(0);
+  const int16_t ndc_v = ps.ncomp == 3 ? flat_dc(neutral_cr, q_c[0])
+                                      : static_cast<int16_t>(0);
+
+  const long cny = static_cast<long>(cnh8) * cnw8;
+  const long cnc = static_cast<long>(cnh16) * cnw16;
+  for (long i = 0; i < cny; ++i) y_dc[i] = ndc_y;
+  for (long i = 0; i < cnc; ++i) u_dc[i] = ndc_u;
+  for (long i = 0; i < cnc; ++i) v_dc[i] = ndc_v;
+  std::memset(y_ac, 0, cny * z_keep_y);
+  std::memset(u_ac, 0, cnc * z_keep_c);
+  std::memset(v_ac, 0, cnc * z_keep_c);
+  for (long i = 0; i < esc_cap_y; ++i) y_esc_idx[i] = -1;
+  for (long i = 0; i < esc_cap_c; ++i) u_esc_idx[i] = -1;
+  for (long i = 0; i < esc_cap_c; ++i) v_esc_idx[i] = -1;
+  std::memset(y_esc_val, 0, esc_cap_y * sizeof(int16_t));
+  std::memset(u_esc_val, 0, esc_cap_c * sizeof(int16_t));
+  std::memset(v_esc_val, 0, esc_cap_c * sizeof(int16_t));
+  stats[0] = 0;
+  stats[1] = 0;
+
+  int16_t* dcs[3] = {y_dc, u_dc, v_dc};
+  int8_t* acs[3] = {y_ac, u_ac, v_ac};
+  int32_t* eis[3] = {y_esc_idx, u_esc_idx, v_esc_idx};
+  int16_t* evs[3] = {y_esc_val, u_esc_val, v_esc_val};
+  const long caps[3] = {esc_cap_y, esc_cap_c, esc_cap_c};
+  const int zks[3] = {z_keep_y, z_keep_c, z_keep_c};
+  const int cnws[3] = {cnw8, cnw16, cnw16};
+  long n_esc[3] = {0, 0, 0};
+
+  BitReader br(data + ps.scan_pos, data + len);
+  long mcu_count = 0;
+  int16_t zz[64];
+  for (int my = 0; my < mcus_y; ++my) {
+    for (int mx = 0; mx < mcus_x; ++mx) {
+      if (ps.restart_interval && mcu_count &&
+          mcu_count % ps.restart_interval == 0) {
+        if (!br.restart()) return br.err;
+        for (int c = 0; c < ps.ncomp; ++c) ps.comp[c].pred = 0;
+      }
+      for (int c = 0; c < ps.ncomp; ++c) {
+        Component& co = ps.comp[c];
+        for (int v = 0; v < co.vs; ++v) {
+          for (int hh = 0; hh < co.hs; ++hh) {
+            std::memset(zz, 0, sizeof(zz));
+            if (!decode_block(br, co, ps.hdc[co.td], ps.hac[co.ta], zz))
+              return br.err ? br.err : ERR_BAD_HUFFMAN;
+            const long by = static_cast<long>(my) * co.vs + v;
+            const long bx = static_cast<long>(mx) * co.hs + hh;
+            pack_block(zz, by * cnws[c] + bx, zks[c], caps[c], dcs[c],
+                       acs[c], eis[c], evs[c], &n_esc[c], stats);
+          }
+        }
+      }
+      ++mcu_count;
+    }
+  }
+  hw_out[0] = ps.h;
+  hw_out[1] = ps.w;
+  return 0;
 }
 
 }  // extern "C"

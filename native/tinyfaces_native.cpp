@@ -279,6 +279,6 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
   for (auto& th : threads) th.join();
 }
 
-int tf_version() { return 4; }
+int tf_version() { return 5; }
 
 }  // extern "C"

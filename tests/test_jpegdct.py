@@ -289,6 +289,85 @@ def test_native_pack_matches_numpy_oracle():
     np.testing.assert_array_equal(wa["_wire"], wb["_wire"])
 
 
+def _canon_escapes(wire):
+    """Escape lists are order-insensitive (the device scatter goes by
+    index): the fused packer emits them in MCU decode order, the two-pass
+    packer row-major. Sort by index for field comparison."""
+    out = {k: v.copy() for k, v in wire.items() if k != "_wire"}
+    for p in ("y", "u", "v"):
+        idx, val = out[f"{p}_esc_idx"], out[f"{p}_esc_val"]
+        for i in range(idx.shape[0]):
+            order = np.argsort(
+                np.where(idx[i] < 0, np.iinfo(np.int32).max, idx[i]),
+                kind="stable")
+            idx[i] = idx[i][order]
+            val[i] = val[i][order]
+    return out
+
+
+def test_fused_pack_matches_two_pass():
+    """tf_jpeg_dct_pack (fused C++: raw JPEG bytes -> wire fields in one
+    pass) against parse_jpeg_dct + pack: identical fields on color JPEGs
+    (q95 for escapes/spectral truncation, q75), grayscale, and
+    partial-MCU edges (248x312 is not a whole number of 16px MCUs)."""
+    # strong 16-px sinusoid: low-frequency AC >> 127 at q95 -> escapes
+    xx = np.mgrid[0:248, 0:312][1]
+    sine = (128 + 110 * np.sin(xx * 2 * np.pi / 16)).clip(0, 255)
+    jpegs = [
+        encode(np.stack([sine.astype(np.uint8)] * 3, -1), quality=95),
+        encode(natural_image(120, 200, seed=5), quality=75),
+        encode(natural_image(248, 312, seed=7, color=False), quality=88),
+    ]
+    h0p, w0p = 256, 320
+    wa = jpegdct.pack_dct_batch(jpegs, h0p, w0p)
+    dcts = [jpegdct.parse_jpeg_dct(j) for j in jpegs]
+    wb = jpegdct.pack_dct_batch(dcts, h0p, w0p)
+    ca, cb = _canon_escapes(wa), _canon_escapes(wb)
+    assert set(ca) == set(cb)
+    for k in ca:
+        np.testing.assert_array_equal(ca[k], cb[k], err_msg=k)
+    # some escapes actually exercised at q95
+    assert (wa["y_esc_idx"] >= 0).sum() > 0
+
+
+def test_fused_pack_restart_interval():
+    """DRI/RSTn streams through the fused path (predictor resets + marker
+    resync inside tf_jpeg_dct_pack's own MCU loop)."""
+    rng = np.random.default_rng(17)
+    nby, nbx = 6, 4
+    h, w = nby * 8, nbx * 8
+    coef = np.zeros((nby, nbx, 64), np.int16)
+    coef.reshape(-1, 64)[:, 0] = rng.integers(-80, 80, nby * nbx)
+    for b in range(nby * nbx):
+        idx = rng.choice(np.arange(1, 30), size=5, replace=False)
+        coef.reshape(-1, 64)[b, idx] = rng.integers(-50, 50, size=5)
+    q = np.full(64, 3, np.uint16)
+    data = encode_jpeg_gray_dri(coef, q, h, w, restart_interval=3)
+    wa = jpegdct.pack_dct_batch([data], 64, 64)
+    wb = jpegdct.pack_dct_batch([jpegdct.parse_jpeg_dct(data)], 64, 64)
+    np.testing.assert_array_equal(wa["_wire"], wb["_wire"])
+
+
+def test_fused_pack_fallback_unsupported():
+    """Non-4:2:0 bytes fall back to transcode + two-pass inside
+    pack_dct_batch (fused C++ rejects, nothing crashes, counter ticks)."""
+    img = natural_image(120, 136, seed=3)
+    data = encode(img, quality=90, subsampling=0)  # 4:4:4
+    assert jpegdct.jpeg_dims(data) is None
+    before = jpegdct.transcode_count()
+    wa = jpegdct.pack_dct_batch([data], 128, 192)
+    assert jpegdct.transcode_count() == before + 1
+    wb = jpegdct.pack_dct_batch([jpegdct.as_dct_image(data)], 128, 192)
+    np.testing.assert_array_equal(wa["_wire"], wb["_wire"])
+
+
+def test_jpeg_dims_probe():
+    img = natural_image(120, 200, seed=2)
+    assert jpegdct.jpeg_dims(encode(img, quality=90)) == (120, 200)
+    assert jpegdct.jpeg_dims(
+        encode(img, quality=90, progressive=True)) is None
+
+
 # --- Minimal test-only baseline JPEG encoder (restart-interval coverage) --
 # PIL cannot emit DRI/RSTn markers, so the decoder's restart handling
 # would otherwise go untested. This encoder is deliberately tiny: standard

@@ -80,6 +80,13 @@ def _bind(lib) -> None:
         ctypes.c_void_p,
     ]
     lib.tf_dct_pack_dense.restype = None
+    lib.tf_jpeg_dct_pack.argtypes = (
+        [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+         ctypes.c_float, ctypes.c_float, ctypes.c_float]
+        + [ctypes.c_void_p] * 16
+    )
+    lib.tf_jpeg_dct_pack.restype = ctypes.c_int
     _bound = True
 
 
@@ -173,6 +180,25 @@ def _parse_native(lib, data: bytes) -> DCTImage:
     return DCTImage(h, w, y.reshape(nby, nbx, 64),
                     cb.reshape(nbcy, nbcx, 64), cr.reshape(nbcy, nbcx, 64),
                     qt[0].copy(), qt[1].copy())
+
+
+def jpeg_dims(data: bytes) -> Optional[tuple]:
+    """(h, w) if `data` is a JPEG the fused native path decodes directly
+    (baseline Huffman, 4:2:0 or grayscale), else None. Header parse only
+    — callers use this to size the batch canvas without entropy-decoding,
+    keeping raw bytes on the fast path through pack_dct_batch."""
+    lib = _native._load()
+    if lib is None:
+        return None
+    _bind(lib)
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(8, np.int32)
+    rc = lib.tf_jpeg_info(buf.ctypes.data_as(ctypes.c_void_p), len(buf),
+                          info.ctypes.data_as(ctypes.c_void_p))
+    h, w, ncomp, hs, vs = (int(v) for v in info[:5])
+    if rc != 0 or not (ncomp == 1 or (hs == 2 and vs == 2)):
+        return None
+    return h, w
 
 
 def as_dct_image(im) -> DCTImage:
@@ -317,6 +343,48 @@ def _pack_plane_dense_native(lib, coef_zz, nbx_img, grid_h, grid_w, z_keep,
             _clamped_escapes += int(stats[1])
 
 
+def _pack_fused_native(lib, data: bytes, wire: dict, i: int, h8: int,
+                       w8: int) -> Optional[tuple]:
+    """Fused C++ entropy-decode + pack (tf_jpeg_dct_pack): JPEG bytes ->
+    this image's wire fields directly, no intermediate coefficient
+    buffers. Returns (h, w) on success, None if the stream needs the
+    transcode + two-pass fallback. Escape-list ordering follows MCU
+    decode order (vs row-major in the two-pass path) — semantically
+    identical, the device scatter is order-independent."""
+    global _truncated_coeffs, _clamped_escapes
+    buf = np.frombuffer(data, np.uint8)
+    stats = np.zeros(2, np.int32)
+    hw = np.zeros(2, np.int32)
+    yn, cbn, crn = _neutral_ycc()
+    p = ctypes.c_void_p
+    ac_y = wire["y_ac"][i]
+    ac_u = wire["u_ac"][i]
+    ac_v = wire["v_ac"][i]
+    rc = lib.tf_jpeg_dct_pack(
+        buf.ctypes.data_as(p), len(buf), h8, w8, Z_KEEP_Y, Z_KEEP_C,
+        wire["y_esc_idx"].shape[1], wire["u_esc_idx"].shape[1],
+        float(yn), float(cbn), float(crn),
+        wire["y_dc"][i].ctypes.data_as(p), ac_y.ctypes.data_as(p),
+        wire["y_esc_idx"][i].ctypes.data_as(p),
+        wire["y_esc_val"][i].ctypes.data_as(p),
+        wire["u_dc"][i].ctypes.data_as(p), ac_u.ctypes.data_as(p),
+        wire["u_esc_idx"][i].ctypes.data_as(p),
+        wire["u_esc_val"][i].ctypes.data_as(p),
+        wire["v_dc"][i].ctypes.data_as(p), ac_v.ctypes.data_as(p),
+        wire["v_esc_idx"][i].ctypes.data_as(p),
+        wire["v_esc_val"][i].ctypes.data_as(p),
+        wire["q_y"][i].ctypes.data_as(p), wire["q_c"][i].ctypes.data_as(p),
+        hw.ctypes.data_as(p), stats.ctypes.data_as(p),
+    )
+    if rc != 0:
+        return None
+    if stats[0] or stats[1]:
+        with _lock:
+            _truncated_coeffs += int(stats[0])
+            _clamped_escapes += int(stats[1])
+    return int(hw[0]), int(hw[1])
+
+
 def wire_layout(h0p: int, w0p: int) -> dict:
     """Field -> (byte_offset, n_elements, dtype) layout of the coalesced
     wire, plus "__total__" -> total bytes.
@@ -364,9 +432,15 @@ def wire_layout(h0p: int, w0p: int) -> dict:
     return layout
 
 
-def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
+def pack_dct_batch(dcts: Sequence, h0p: int, w0p: int,
                    use_native: bool = True) -> dict:
     """Pack entropy-decoded images into the fixed-shape device wire.
+
+    Entries may be DCTImage, raw JPEG bytes, or uint8 arrays. Raw bytes
+    of a baseline-4:2:0/grayscale JPEG take the fused C++ path
+    (entropy decode + pack in one pass, no intermediate coefficient
+    buffers — the host hot path); everything else goes through
+    as_dct_image + the two-pass per-plane pack.
 
     h0p/w0p: padded canvas (multiples of 16; evaluation buckets are x64).
     Padding blocks decode to the MEAN_PIXEL canvas fill used everywhere
@@ -381,16 +455,20 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
 
     layout = wire_layout(h0p, w0p)
     total = layout.pop("__total__")
-    wire = {"_wire": np.zeros((b, total), np.uint8)}
+    data_end = max(off + n * dt.itemsize for off, n, dt in layout.values())
+    # np.empty, not zeros: a raw-bytes entry takes the fused C++ path
+    # (tf_jpeg_dct_pack), which initializes every field region itself —
+    # zeroing 0.7 B/px up front costs ~16 ms/batch32 on the 1-core host.
+    # Fallback (DCTImage / transcode) rows are zeroed in pack_image.
+    wire = {"_wire": np.empty((b, total), np.uint8)}
+    wire["_wire"][:, data_end:] = 0  # tail alignment pad
     for name, (off, n, dtype) in layout.items():
         wire[name] = wire["_wire"][:, off:off + n * dtype.itemsize].view(dtype)
-    for p in ("y", "u", "v"):
-        wire[f"{p}_esc_idx"].fill(-1)
-    for i, d in enumerate(dcts):
-        wire["h0w0"][i] = (d.h, d.w)
 
     yn, cbn, crn = _neutral_ycc()
     lib = _native._load() if use_native else None
+    if lib is not None:
+        _bind(lib)
 
     def pack_one(coef, nbx_img, grid_h, grid_w, z_keep, neutral_dc, p, i):
         ac = wire[f"{p}_ac"][i].reshape(grid_h * grid_w, z_keep)
@@ -408,6 +486,18 @@ def pack_dct_batch(dcts: Sequence[DCTImage], h0p: int, w0p: int,
 
     def pack_image(i: int) -> None:
         d = dcts[i]
+        if lib is not None and isinstance(d, (bytes, bytearray, memoryview)):
+            hw = _pack_fused_native(lib, bytes(d), wire, i, h8, w8)
+            if hw is not None:
+                wire["h0w0"][i] = hw
+                return
+        if not isinstance(d, DCTImage):
+            d = as_dct_image(d)  # bytes fallback (transcode) / uint8 arrays
+        # Two-pass path writes sparsely into pre-zeroed fields.
+        wire["_wire"][i, :data_end].fill(0)
+        for p in ("y", "u", "v"):
+            wire[f"{p}_esc_idx"][i].fill(-1)
+        wire["h0w0"][i] = (d.h, d.w)
         # qtables ship in ZIGZAG order — the AC tensors are zigzag-dense
         # and the device basis matrix is zigzag-indexed (ops/jpeg.py).
         wire["q_y"][i] = d.qy

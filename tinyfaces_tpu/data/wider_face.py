@@ -278,12 +278,17 @@ class WIDERFace:
             return np.asarray(im.convert("RGB"))
 
     def get_dct(self, idx: int):
-        """(DCTImage, img_path) for the jpegdct wire format: entropy-decode
-        the JPEG file directly — no pixel decode on the host at all (the
-        reference decodes fully on the host, wider_face.py:197-199)."""
-        from tinyfaces_tpu.data.jpegdct import parse_jpeg_dct
+        """(raw JPEG bytes | DCTImage, img_path) for the jpegdct wire
+        format — no pixel decode on the host at all (the reference decodes
+        fully on the host, wider_face.py:197-199). Baseline-4:2:0 and
+        grayscale files stay raw bytes: the fused C++ entropy-decode +
+        pack runs at batch-pack time (pack_dct_batch). Other streams are
+        entropy-decoded here (with PIL transcode fallback)."""
+        from tinyfaces_tpu.data.jpegdct import jpeg_dims, parse_jpeg_dct
 
         data = self.image_path(idx).read_bytes()
+        if jpeg_dims(data) is not None:
+            return data, self.samples[idx].img_path
         return parse_jpeg_dct(data), self.samples[idx].img_path
 
     def get_all_bboxes(self) -> np.ndarray:

@@ -435,9 +435,21 @@ class PyramidDetector:
         if self.transfer == "jpegdct":
             from tinyfaces_tpu.data import jpegdct
 
-            dcts = [jpegdct.as_dct_image(im) for im in images]
-            hs = [d.h for d in dcts]
-            ws = [d.w for d in dcts]
+            # Raw JPEG bytes stay raw: a header-only dims probe sizes the
+            # canvas, and pack_dct_batch runs the fused C++ entropy-decode
+            # + pack on them directly (half the host CPU of the two-pass
+            # parse-then-pack path — the e2e bottleneck on a 1-core host).
+            dcts, hs, ws = [], [], []
+            for im in images:
+                dims = (jpegdct.jpeg_dims(bytes(im))
+                        if isinstance(im, (bytes, bytearray, memoryview))
+                        else None)
+                if dims is None:
+                    im = jpegdct.as_dct_image(im)
+                    dims = (im.h, im.w)
+                dcts.append(im)
+                hs.append(dims[0])
+                ws.append(dims[1])
             h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
             wire = jpegdct.pack_dct_batch(dcts, h0p, w0p)
             # ONE coalesced H2D put per batch — every put pays the
@@ -520,6 +532,16 @@ class PyramidDetector:
         prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
         nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
         scales = self.ec.scales if scales is None else scales
+
+        if isinstance(image, (bytes, bytearray, memoryview)):
+            # raw JPEG bytes (jpegdct wire): this path resizes pixels on
+            # the host, so decode fully here
+            import io
+
+            from PIL import Image as _PILImage
+
+            image = np.asarray(
+                _PILImage.open(io.BytesIO(bytes(image))).convert("RGB"))
 
         h, w = image.shape[:2]
         min_side = min(h, w)

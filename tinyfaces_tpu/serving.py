@@ -55,12 +55,19 @@ class DetectionService:
         """Enqueue one image; resolves to (N, 5) detections.
 
         Accepts (H, W, 3) uint8 arrays; under transfer="jpegdct" also raw
-        JPEG bytes or DCTImage — the entropy decode then runs here on the
-        caller's thread (GIL-free C++), parallel across client threads."""
+        JPEG bytes or DCTImage. Baseline-4:2:0/grayscale JPEG bytes stay
+        raw (header-only dims probe here) and take the fused C++
+        entropy-decode + pack at dispatch — half the host CPU of
+        parse-then-pack. Other inputs are coerced on the caller's
+        thread (GIL-free C++), parallel across client threads."""
         if getattr(self.detector, "transfer", "rgb") == "jpegdct":
-            from tinyfaces_tpu.data.jpegdct import as_dct_image
+            from tinyfaces_tpu.data.jpegdct import as_dct_image, jpeg_dims
 
-            image = as_dct_image(image)
+            if isinstance(image, (bytes, bytearray, memoryview)):
+                if jpeg_dims(bytes(image)) is None:
+                    image = as_dct_image(image)  # transcode fallback
+            else:
+                image = as_dct_image(image)
         fut: Future = Future()
         self._queue.put((image, fut))
         return fut
@@ -107,6 +114,11 @@ class DetectionService:
     def _bucket(image) -> tuple[int, int]:
         if hasattr(image, "h"):  # DCTImage
             return (_round_up(image.h), _round_up(image.w))
+        if isinstance(image, (bytes, bytearray, memoryview)):
+            from tinyfaces_tpu.data.jpegdct import jpeg_dims
+
+            h, w = jpeg_dims(bytes(image))  # submit() guaranteed parseable
+            return (_round_up(h), _round_up(w))
         return (_round_up(image.shape[0]), _round_up(image.shape[1]))
 
     def _resolve(self, entry) -> None:
