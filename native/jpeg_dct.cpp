@@ -325,6 +325,56 @@ inline bool decode_block(BitReader& br, Component& c, const HuffTable& dc,
   return true;
 }
 
+// Decode one 8x8 block DIRECTLY into the zigzag-dense wire (wire v3):
+// only nonzero coefficients are touched — no intermediate block buffer,
+// no zero-fill, no tail scan (EXTEND never yields 0 for s>0, so every
+// decoded AC is nonzero by construction; zigzag positions past z_keep
+// count as spectral truncation). Byte-equivalent to decode_block +
+// pack_block on a zeroed buffer.
+inline bool decode_block_pack(BitReader& br, Component& c,
+                              const HuffTable& dct, const HuffTable& act,
+                              long cid, int z_keep, long esc_cap,
+                              int16_t* dc, int8_t* ac, int32_t* esc_idx,
+                              int16_t* esc_val, long* n_esc,
+                              int32_t* stats) {
+  int t = huff_decode(br, dct);
+  if (br.err) return false;
+  c.pred += receive_extend(br, t);
+  dc[cid] = static_cast<int16_t>(c.pred);
+  int8_t* out = ac + cid * z_keep;
+  int k = 1;
+  while (k < 64) {
+    int rs = huff_decode(br, act);
+    if (br.err) return false;
+    int r = rs >> 4, s = rs & 15;
+    if (s == 0) {
+      if (r == 15) { k += 16; continue; }  // ZRL
+      break;                               // EOB
+    }
+    k += r;
+    if (k > 63) { br.err = ERR_BAD_HUFFMAN; return false; }
+    int v = receive_extend(br, s);
+    if (k <= z_keep) {
+      if (v > 127 || v < -127) {
+        if (*n_esc < esc_cap) {
+          esc_idx[*n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
+          esc_val[*n_esc] = static_cast<int16_t>(v);
+          ++*n_esc;
+        } else {
+          ++stats[1];
+        }
+        out[k - 1] = v > 0 ? 127 : -127;
+      } else {
+        out[k - 1] = static_cast<int8_t>(v);
+      }
+    } else {
+      ++stats[0];  // truncated: nonzero past the zigzag cutoff
+    }
+    ++k;
+  }
+  return true;
+}
+
 // Zigzag-dense pack of one decoded block (wire v3): DC int16, first
 // z_keep ACs clamped int8, |q|>127 to the escape list, tail nonzeros
 // counted as spectral truncation. Shared by tf_dct_pack_dense and the
@@ -576,7 +626,6 @@ int tf_jpeg_dct_pack(const uint8_t* data, long len, int cnh8, int cnw8,
 
   BitReader br(data + ps.scan_pos, data + len);
   long mcu_count = 0;
-  int16_t zz[64];
   for (int my = 0; my < mcus_y; ++my) {
     for (int mx = 0; mx < mcus_x; ++mx) {
       if (ps.restart_interval && mcu_count &&
@@ -588,13 +637,13 @@ int tf_jpeg_dct_pack(const uint8_t* data, long len, int cnh8, int cnw8,
         Component& co = ps.comp[c];
         for (int v = 0; v < co.vs; ++v) {
           for (int hh = 0; hh < co.hs; ++hh) {
-            std::memset(zz, 0, sizeof(zz));
-            if (!decode_block(br, co, ps.hdc[co.td], ps.hac[co.ta], zz))
-              return br.err ? br.err : ERR_BAD_HUFFMAN;
             const long by = static_cast<long>(my) * co.vs + v;
             const long bx = static_cast<long>(mx) * co.hs + hh;
-            pack_block(zz, by * cnws[c] + bx, zks[c], caps[c], dcs[c],
-                       acs[c], eis[c], evs[c], &n_esc[c], stats);
+            if (!decode_block_pack(br, co, ps.hdc[co.td], ps.hac[co.ta],
+                                   by * cnws[c] + bx, zks[c], caps[c],
+                                   dcs[c], acs[c], eis[c], evs[c],
+                                   &n_esc[c], stats))
+              return br.err ? br.err : ERR_BAD_HUFFMAN;
           }
         }
       }
