@@ -33,7 +33,12 @@ def main():
                     choices=("jpegdct", "yuv420", "rgb"))
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--parse-only", default="",
+                    help="skip execution; re-parse this trace directory")
     args = ap.parse_args()
+    if args.parse_only:
+        parse_trace(args.parse_only, args.iters, args.top, args.batch)
+        return
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
 
