@@ -95,3 +95,10 @@ class EvalConfig:
     # eat the gain (docs/PERF.md round 3, negative result). Kept available
     # for future stacking with a packed layer2 entry.
     packed_layer1: bool = False
+    # Run every stride-1 layer1/layer2 bottleneck as ONE Pallas kernel
+    # (ops/fused_block.py): BN folded into weights, the block's c256/c512
+    # intermediates never touch HBM. The per-op trace showed these stages
+    # HBM-bound at 37-98 TFLOP/s (docs/PERF.md round 3); fusing removes
+    # ~10 GB of the ~16 GB per-block traffic. Inference only (BN running
+    # stats); mutually exclusive with packed_layer1.
+    fused_blocks: bool = True

@@ -192,6 +192,14 @@ class PyramidDetector:
         self.mesh = mesh
         self.transfer = transfer
         self._mask_cache: dict[float, np.ndarray] = {}
+        # Pallas fused bottlenecks: TPU-only (Mosaic kernel; the CPU test
+        # backend takes the plain module path) and unsharded only (a
+        # pallas_call is opaque to GSPMD — under a mesh it would force
+        # gathers instead of partitioning).
+        self._use_fused_blocks = bool(
+            self.ec.fused_blocks and not self.ec.packed_layer1
+            and mesh is None
+            and jax.devices()[0].platform.lower() not in ("cpu",))
 
         stride = float(self.cfg.rf.stride[0])
         offset = float(self.cfg.rf.offset[0])
@@ -264,10 +272,21 @@ class PyramidDetector:
             k = self.ec.max_dets_per_scale
 
             def apply_model(xin, *, stem_precomputed: bool):
-                """Backbone forward; ec.packed_layer1 routes the 64-channel
-                stage through the width-packed form (ops/packedconv.py) —
-                C=64 half-fills the MXU lanes, the packed form measured
-                0.70x the time at 2x the FLOPs."""
+                """Backbone forward; ec.fused_blocks routes stride-1
+                layer1/layer2 bottlenecks through the Pallas fused-block
+                kernel (ops/fused_block.py, HBM-traffic-bound stages);
+                ec.packed_layer1 routes the 64-channel stage through the
+                width-packed form (ops/packedconv.py)."""
+                if self._use_fused_blocks:
+                    from tinyfaces_tpu.ops import fused_block
+
+                    res3 = fused_block.stem_and_fused_layers12(
+                        variables, xin,
+                        stage_sizes=tuple(self.model.stage_sizes),
+                        dtype=self.model.dtype,
+                        stem_precomputed=stem_precomputed)
+                    return model.apply(variables, res3, train=False,
+                                       layer2_precomputed=True)
                 if not self.ec.packed_layer1:
                     return model.apply(variables, xin, train=False,
                                        stem_precomputed=stem_precomputed)

@@ -105,7 +105,8 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  stem_precomputed: bool = False,
-                 layer1_precomputed: bool = False):
+                 layer1_precomputed: bool = False,
+                 layer2_precomputed: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(
             nn.BatchNorm,
@@ -117,6 +118,12 @@ class ResNetBackbone(nn.Module):
         )
 
         x = x.astype(self.dtype)
+        if layer2_precomputed:
+            # x is already res3 (layer2 output) — the fused pyramid's
+            # Pallas bottleneck path (ops/fused_block.py) computed
+            # stem+layer1+layer2 with BN folded; only layer3 + heads run
+            # through the module graph.
+            layer1_precomputed = True
         if not layer1_precomputed:
             if not stem_precomputed:
                 x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
@@ -142,6 +149,9 @@ class ResNetBackbone(nn.Module):
             zip(self.stage_sizes, (64, 128, 256)), start=1
         ):
             if stage_idx == 1 and layer1_precomputed:
+                continue
+            if stage_idx == 2 and layer2_precomputed:
+                feats["layer2"] = x
                 continue
             for block_idx in range(n_blocks):
                 stride = 2 if (stage_idx > 1 and block_idx == 0) else 1

@@ -156,12 +156,18 @@ def decode_scores(
     ch = templates[fc, 3] - templates[fc, 1] + 1.0
 
     # Regression channels live at [T + j*T + fc] for j in (tx, ty, tw, th).
+    # ONE row gather of the K winning positions, then one tiny (K, 5)
+    # take_along for the per-template channels: the previous five separate
+    # scalar-gathers from the full (H*W, C) map lowered to five serialized
+    # ~1.4 ms custom fusions per scale on TPU (per-op trace, docs/PERF.md
+    # round 3); the row gather moves 125x the bytes but vectorizes.
     flat_out = output.reshape(-1, c)
     loc = fy * w + fx
-    tx = flat_out[loc, nt + fc]
-    ty = flat_out[loc, 2 * nt + fc]
-    tw = flat_out[loc, 3 * nt + fc]
-    th = flat_out[loc, 4 * nt + fc]
+    rows = flat_out[loc]  # (K, C)
+    chan = jnp.stack([fc, nt + fc, 2 * nt + fc, 3 * nt + fc, 4 * nt + fc],
+                     axis=1)  # (K, 5)
+    vals = jnp.take_along_axis(rows, chan, axis=1)
+    tx, ty, tw, th = vals[:, 1], vals[:, 2], vals[:, 3], vals[:, 4]
 
     # Refinement (utils.py:79-100).
     rcx = cx + cw * tx
@@ -174,6 +180,6 @@ def decode_scores(
     )
     boxes = boxes / scale  # back to original-image coordinates (utils.py:72-74)
 
-    scores = flat_out[loc, fc]  # raw cls logit at the winning (pos, template)
+    scores = vals[:, 0]  # raw cls logit at the winning (pos, template)
     boxes = jnp.where(valid[:, None], boxes, 0.0)
     return Detections(boxes=boxes, scores=jnp.where(valid, scores, -jnp.inf), valid=valid)

@@ -93,7 +93,8 @@ def nms(
     lidx = jnp.arange(block)
     col = jnp.arange(n_pad)
 
-    def body(keep, i):
+    def body(state):
+        i, keep = state
         start = i * block
         blk_boxes = jax.lax.dynamic_slice(boxes_sorted, (start, 0), (block, 4))
         blk_keep = jax.lax.dynamic_slice(keep, (start,), (block,))
@@ -107,9 +108,16 @@ def nms(
         sup = jnp.any((iou_blk > iou_threshold) & blk_final[:, None], axis=0)
         keep = keep & ~(sup & later)
         keep = jax.lax.dynamic_update_slice(keep, blk_final, (start,))
-        return keep, None
+        return i + 1, keep
 
-    keep, _ = jax.lax.scan(body, valid_sorted, jnp.arange(nb))
+    # Score-sorted => every valid candidate lives in the first
+    # ceil(n_valid/block) blocks; trailing blocks are all-False and can
+    # neither keep nor suppress, so skipping them is exact. Dynamic trip
+    # count: typically 1-2 of nb blocks do work (the per-op trace charged
+    # 7.3 ms/batch to this scan at nb=8 — most of it empty blocks).
+    nb_needed = (jnp.sum(valid_sorted.astype(jnp.int32)) + block - 1) // block
+    _, keep = jax.lax.while_loop(
+        lambda s: s[0] < nb_needed, body, (jnp.int32(0), valid_sorted))
     return order, keep[:n]
 
 
