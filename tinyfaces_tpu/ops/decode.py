@@ -58,7 +58,7 @@ def valid_template_mask(templates: np.ndarray, scale: float) -> np.ndarray:
     return mask
 
 
-def exact_top_k(x: jnp.ndarray, k: int, max_groups: int = 16):
+def exact_top_k(x: jnp.ndarray, k: int, max_groups: int = 96):
     """Exact top-k over a flat vector via a two-stage group reduction.
 
     Stage 1 takes the per-group top-k (every global top-k element is by
