@@ -116,17 +116,18 @@ def _block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                                 preferred_element_type=f32)
     t2 = jnp.maximum(acc, 0.0).astype(dtype)
 
-    # 1x1 expand + bias
-    y = jnp.dot(t2, w3_ref[:], preferred_element_type=f32) + b3_ref[:]
+    # 1x1 expand + bias; residual add in the compute dtype (the module
+    # adds bf16 activations too) — halves the f32 scratch footprint.
+    y = (jnp.dot(t2, w3_ref[:], preferred_element_type=f32)
+         + b3_ref[:]).astype(dtype)
 
-    # residual
     x_mid = x[1:th + 1].reshape(th * wdt, cin)
     if has_proj:
-        skip = jnp.dot(x_mid, wp_ref[:], preferred_element_type=f32) + bp_ref[:]
+        skip = (jnp.dot(x_mid, wp_ref[:], preferred_element_type=f32)
+                + bp_ref[:]).astype(dtype)
     else:
-        skip = x_mid.astype(f32)
-
-    o = jnp.maximum(y + skip, 0.0).astype(dtype)
+        skip = x_mid
+    o = jnp.maximum(y + skip, jnp.zeros((), dtype))
     o_ref[0] = o.reshape(th, wdt, cout)
 
 
@@ -185,6 +186,11 @@ def fused_bottleneck(xp: jnp.ndarray, fw: dict, *, th: int = 4,
         out_specs=o_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # worst tile (layer1 at the 2x pyramid level, W=512) sums to
+            # ~14 MB of live buffers + double-buffered I/O; give Mosaic
+            # headroom over its 16 MB default scoped budget.
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_est, transcendentals=0),
     )(xp, *ins)
@@ -217,12 +223,16 @@ def _pool_kernel(x_ref, o_ref, *, th: int, w2: int, cc: int):
     rm_b = jnp.maximum(jnp.maximum(odd_m1, even[:th]), odd[:th])
     rm = jnp.where(i == 0, rm_b, rm_a)  # (TH, W2, C)
 
-    # width: out c = max over cols 2c-1, 2c, 2c+1 (zero pad, same argument)
+    # width: out c = max over cols 2c-1, 2c, 2c+1 (zero pad, same argument).
+    # The (pairs, 2, C) split tile-pads its (2, C) minor dims to (8, 128)
+    # — pure VMEM-capacity cost (hence the raised vmem_limit below; a
+    # lane-merging (W2, C) -> (W2/2, 2C) reshape would avoid it but is an
+    # unsupported Mosaic shape cast).
     rmp = jnp.pad(rm, ((0, 0), (1, 1), (0, 0)))[:, :w2 + 2]
-    b = rmp.reshape(th, w2 // 2 + 1, 2, cc)
-    evenc = b[:, :, 0]  # evenc[c] = rmp[2c]
-    oddc = b[:, :, 1]   # oddc[c]  = rmp[2c+1]
     w_half = w2 // 2
+    b = rmp.reshape(th, w_half + 1, 2, cc)
+    evenc = b[:, :, 0]  # rmp[2c] = rm[2c-1]
+    oddc = b[:, :, 1]   # rmp[2c+1] = rm[2c]
     out = jnp.maximum(jnp.maximum(evenc[:, :w_half], oddc[:, :w_half]),
                       evenc[:, 1:w_half + 1])
     o_ref[0] = out
@@ -259,6 +269,8 @@ def maxpool_3x3_s2_padded(x: jnp.ndarray, *, th: int = 4,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((bb, hh + 2, w2 // 2, cc), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x)
 
 
