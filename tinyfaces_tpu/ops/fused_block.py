@@ -279,13 +279,17 @@ def maxpool_3x3_s2_padded(x: jnp.ndarray, *, th: int = 4,
 # ---------------------------------------------------------------------------
 
 def _conv_bn(x, kernel, bias, *, stride: int = 1, dtype=jnp.bfloat16):
+    """Folded conv+BN staying in the compute dtype end-to-end: the bias
+    add (and the caller's relu) then fuse into the conv's epilogue the
+    same way flax's conv->BN->relu chain does — an f32 accumulator
+    output here forced XLA to materialize full-tensor f32 convert passes
+    (measured 7-11 ms each at the 2x pyramid level, docs/PERF.md)."""
     kh = kernel.shape[0]
     p = (kh - 1) // 2
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), kernel.astype(dtype), (stride, stride),
-        ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + bias
+        ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
 
 
 def xla_bottleneck(x, params, stats, *, stride: int = 1, dtype=jnp.bfloat16):
@@ -299,11 +303,11 @@ def xla_bottleneck(x, params, stats, *, stride: int = 1, dtype=jnp.bfloat16):
                               params["downsample_bn"], stats["downsample_bn"])
         identity = _conv_bn(x, kp, bp, stride=stride, dtype=dtype)
     else:
-        identity = x.astype(jnp.float32)
+        identity = x.astype(dtype)
     y = jax.nn.relu(_conv_bn(x, k1, b1, dtype=dtype))
-    y = jax.nn.relu(_conv_bn(y.astype(dtype), k2, b2, stride=stride, dtype=dtype))
-    y = _conv_bn(y.astype(dtype), k3, b3, dtype=dtype)
-    return jax.nn.relu(y + identity).astype(dtype)
+    y = jax.nn.relu(_conv_bn(y, k2, b2, stride=stride, dtype=dtype))
+    y = _conv_bn(y, k3, b3, dtype=dtype)
+    return jax.nn.relu(y + identity)
 
 
 def fused_stage(x: jnp.ndarray, stage_params: list, stage_stats: list, *,
@@ -355,23 +359,26 @@ def stem_and_fused_layers12(variables, x, *, stage_sizes, dtype=jnp.bfloat16,
     p = variables["params"]["backbone"]
     s = variables["batch_stats"]["backbone"]
 
-    if not stem_precomputed:
-        x = jax.lax.conv_general_dilated(
-            x.astype(dtype), p["conv1"]["kernel"].astype(dtype), (2, 2),
-            ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # bn1 + relu (folded to scale/bias on the conv output)
     g = p["bn1"]["scale"] / jnp.sqrt(s["bn1"]["var"] + _EPS)
-    bias = p["bn1"]["bias"] - s["bn1"]["mean"] * g
-    x = jax.nn.relu(x.astype(jnp.float32) * g + bias).astype(dtype)
-
-    # Pallas pool emits layer1's halo-padded layout directly (no separate
-    # pad copy); tiling mismatches fall back to reduce_window + pad.
-    h2 = x.shape[1]
-    pool_fused = h2 % 2 == 0 and x.shape[2] % 2 == 0 and (h2 // 2) % th == 0
-    if pool_fused:
-        x = maxpool_3x3_s2_padded(x, th=th, interpret=interpret)
+    bias = (p["bn1"]["bias"] - s["bn1"]["mean"] * g).astype(dtype)
+    if not stem_precomputed:
+        # bn1 folds into the conv1 weights; bias+relu fuse into the conv
+        # epilogue in bf16 (an f32 scale pass here cost 19.6 ms/batch32 at
+        # the 2x level — full-tensor convert round trip).
+        k1 = (p["conv1"]["kernel"] * g).astype(dtype)
+        x = jax.lax.conv_general_dilated(
+            x.astype(dtype), k1, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + bias)
     else:
-        x = max_pool_3x3_s2(x)
+        # x is the raw conv1 output (ops/stemfold.py with the unscaled
+        # kernel) — apply the folded scale/bias in the compute dtype.
+        x = jax.nn.relu(x.astype(dtype) * g.astype(dtype) + bias)
+
+    # XLA reduce_window consumes the conv's preferred layout natively; a
+    # Pallas pool forced a full-tensor relayout copy of the stem output
+    # (19.5 ms/batch32 measured) because pallas_call pins default layouts.
+    x = max_pool_3x3_s2(x)
 
     for stage_idx, width in ((1, 64), (2, 128)):
         n_blocks = stage_sizes[stage_idx - 1]
@@ -379,7 +386,5 @@ def stem_and_fused_layers12(variables, x, *, stage_sizes, dtype=jnp.bfloat16,
         ss = [s[f"layer{stage_idx}_{i}"] for i in range(n_blocks)]
         x = fused_stage(x, sp, ss, width=width,
                         first_stride=1 if stage_idx == 1 else 2,
-                        dtype=dtype, th=th, interpret=interpret,
-                        prepadded=(stage_idx == 1 and pool_fused))
-        pool_fused = False
+                        dtype=dtype, th=th, interpret=interpret)
     return x
