@@ -100,5 +100,9 @@ class EvalConfig:
     # intermediates never touch HBM. The per-op trace showed these stages
     # HBM-bound at 37-98 TFLOP/s (docs/PERF.md round 3); fusing removes
     # ~10 GB of the ~16 GB per-block traffic. Inference only (BN running
-    # stats); mutually exclusive with packed_layer1.
-    fused_blocks: bool = True
+    # stats); mutually exclusive with packed_layer1. Default OFF: the v1
+    # integration measured SLOWER end-to-end (514 vs 417 ms/batch32 —
+    # layout seams, docs/PERF.md round 3h) and the v2 seam fixes are not
+    # yet measured on hardware; the flag flips on once a measured win
+    # exists.
+    fused_blocks: bool = False
