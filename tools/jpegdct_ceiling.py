@@ -36,6 +36,11 @@ def main():
                          " the timed loop uploads + dispatches + fetches"
                          " with depth-3 pipelining — isolates whether H2D"
                          " serializes with execution on the tunnel.")
+    ap.add_argument("--fused-blocks", choices=["default", "on", "off"],
+                    default="default",
+                    help="override EvalConfig.fused_blocks for an A/B of"
+                         " the Pallas bottleneck path (ops/fused_block.py)"
+                         " against the XLA conv path.")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
@@ -53,8 +58,13 @@ def main():
 
     templates = load_templates()
     model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
+    ec = EvalConfig()
+    if args.fused_blocks != "default":
+        import dataclasses
+
+        ec = dataclasses.replace(ec, fused_blocks=args.fused_blocks == "on")
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
-                          ec=EvalConfig(), transfer="jpegdct")
+                          ec=ec, transfer="jpegdct")
 
     h, w = 768, 1024
     B, iters = args.batch, args.iters
