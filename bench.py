@@ -84,6 +84,7 @@ def main():
     # (docs/PERF.md), so the wire format is the biggest lever: jpegdct ships
     # ~0.6 B/px vs yuv420's 1.5 and rgb's 3.
     transfer = os.environ.get("BENCH_TRANSFER", "jpegdct")
+    wire_version = 4 if transfer == "jpegdct4" else 3
     detector = PyramidDetector(
         model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig(),
         transfer=transfer,
@@ -95,7 +96,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     h, w = 768, 1024
     images = natural_images(batch, h, w)
-    if transfer == "jpegdct":
+    if transfer.startswith("jpegdct"):
         from tinyfaces_tpu.data import jpegdct
 
         jpegs = []
@@ -118,7 +119,8 @@ def main():
             return jpegs[k:] + jpegs[:k]
 
         wire_bytes = jpegdct.wire_bytes(
-            jpegdct.pack_dct_batch(jpegs, h, w)) / batch
+            jpegdct.pack_dct_batch(jpegs, h, w,
+                                   wire_version=wire_version)) / batch
     else:
         rot = [0]
 
@@ -216,7 +218,7 @@ def main():
         )
     )
     extra = ""
-    if transfer == "jpegdct":
+    if transfer.startswith("jpegdct"):
         from tinyfaces_tpu.data import jpegdct
 
         extra = (f"; truncation {jpegdct.truncation_stats()}"

@@ -25,7 +25,7 @@ def arguments(argv=None):
     parser.add_argument("--output", default="",
                         help="save annotated image here instead of .show()")
     parser.add_argument("--transfer", default="rgb",
-                        choices=("rgb", "yuv420", "jpegdct"),
+                        choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
                         help="wire format; jpegdct feeds the JPEG file's "
                              "own DCT coefficients straight to the device")
 
@@ -38,7 +38,7 @@ def run(model, variables, image, templates, prob_thresh, nms_thresh,
         model, variables, templates, cfg=DetectorConfig(), ec=EvalConfig(),
         transfer=transfer,
     )
-    if transfer == "jpegdct" and jpeg_bytes is not None:
+    if transfer.startswith("jpegdct") and jpeg_bytes is not None:
         return detector.detect_batch(
             [jpeg_bytes], prob_thresh, nms_thresh, scales=(0,))[0]
     return detector.detect(
@@ -62,7 +62,7 @@ def main():
 
     image = Image.open(args.image_path).convert("RGB")
     jpeg_bytes = None
-    if args.transfer == "jpegdct" and args.image_path.lower().endswith(
+    if args.transfer.startswith("jpegdct") and args.image_path.lower().endswith(
             (".jpg", ".jpeg")):
         jpeg_bytes = open(args.image_path, "rb").read()
     dets = run(model, variables, image, templates, args.prob_thresh,

@@ -64,7 +64,7 @@ def arguments(argv=None):
     parser.add_argument("--host-resize", action="store_true",
                         help="PIL per-scale resize (reference resampling)")
     parser.add_argument("--transfer", default="rgb",
-                        choices=("rgb", "yuv420", "jpegdct"),
+                        choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
                         help="fused-path wire format; yuv420 halves H2D bytes"
                              " (JPEG-native chroma subsampling); jpegdct "
                              "ships entropy-decoded DCT coefficients "
@@ -120,7 +120,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     done = 0
     dets = None
 
-    jpegdct = getattr(detector, "transfer", "rgb") == "jpegdct"
+    jpegdct = getattr(detector, "transfer", "rgb").startswith("jpegdct")
     if jpegdct and host_resize:
         raise ValueError("--host-resize needs decoded pixels; use "
                          "--transfer rgb with it")

@@ -375,6 +375,96 @@ inline bool decode_block_pack(BitReader& br, Component& c,
   return true;
 }
 
+// Decode one 8x8 block DIRECTLY into the bitmap-sparse wire (wire v4):
+// per block a uint32 nonzero bitmap (bit k-1 = zigzag position k set),
+// a uint32 offset into the plane's shared value stream, and the nonzero
+// values appended to that stream as clamped int8 (|q|>127 escapes like
+// v3). The stream order is whatever block order the caller visits —
+// offsets ship on the wire, so the device never reconstructs it.
+// Stream overflow and zigzag-tail nonzeros count as truncation.
+inline bool decode_block_pack_sparse(
+    BitReader& br, Component& c, const HuffTable& dct, const HuffTable& act,
+    long cid, int z_keep, long esc_cap, long vcap, int16_t* dc,
+    uint32_t* bitmap, uint32_t* offs, int8_t* vals, int32_t* esc_idx,
+    int16_t* esc_val, long* n_esc, long* n_vals, int32_t* stats) {
+  int t = huff_decode(br, dct);
+  if (br.err) return false;
+  c.pred += receive_extend(br, t);
+  dc[cid] = static_cast<int16_t>(c.pred);
+  offs[cid] = static_cast<uint32_t>(*n_vals);
+  uint32_t bm = 0;
+  int k = 1;
+  while (k < 64) {
+    int rs = huff_decode(br, act);
+    if (br.err) return false;
+    int r = rs >> 4, s = rs & 15;
+    if (s == 0) {
+      if (r == 15) { k += 16; continue; }  // ZRL
+      break;                               // EOB
+    }
+    k += r;
+    if (k > 63) { br.err = ERR_BAD_HUFFMAN; return false; }
+    int v = receive_extend(br, s);
+    if (k <= z_keep && *n_vals < vcap) {
+      bm |= 1u << (k - 1);
+      if (v > 127 || v < -127) {
+        if (*n_esc < esc_cap) {
+          esc_idx[*n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
+          esc_val[*n_esc] = static_cast<int16_t>(v);
+          ++*n_esc;
+        } else {
+          ++stats[1];
+        }
+        vals[(*n_vals)++] = v > 0 ? 127 : -127;
+      } else {
+        vals[(*n_vals)++] = static_cast<int8_t>(v);
+      }
+    } else {
+      ++stats[0];  // zigzag tail or value-stream overflow
+    }
+    ++k;
+  }
+  bitmap[cid] = bm;
+  return true;
+}
+
+// Bitmap-sparse pack of one already-decoded block (wire v4 two-pass
+// path); canvas-order stream. Semantics identical to
+// decode_block_pack_sparse given the same visit order.
+inline void pack_block_sparse(const int16_t* c, long cid, int z_keep,
+                              long esc_cap, long vcap, int16_t* dc,
+                              uint32_t* bitmap, uint32_t* offs, int8_t* vals,
+                              int32_t* esc_idx, int16_t* esc_val, long* n_esc,
+                              long* n_vals, int32_t* stats) {
+  dc[cid] = c[0];
+  offs[cid] = static_cast<uint32_t>(*n_vals);
+  uint32_t bm = 0;
+  for (int k = 1; k <= z_keep; ++k) {
+    int16_t v = c[k];
+    if (!v) continue;
+    if (*n_vals >= vcap) {
+      ++stats[0];
+      continue;
+    }
+    bm |= 1u << (k - 1);
+    if (v > 127 || v < -127) {
+      if (*n_esc < esc_cap) {
+        esc_idx[*n_esc] = static_cast<int32_t>(cid * z_keep + (k - 1));
+        esc_val[*n_esc] = v;
+        ++*n_esc;
+      } else {
+        ++stats[1];
+      }
+      vals[(*n_vals)++] = v > 0 ? 127 : -127;
+    } else {
+      vals[(*n_vals)++] = static_cast<int8_t>(v);
+    }
+  }
+  for (int k = z_keep + 1; k < 64; ++k)
+    if (c[k]) ++stats[0];
+  bitmap[cid] = bm;
+}
+
 // Zigzag-dense pack of one decoded block (wire v3): DC int16, first
 // z_keep ACs clamped int8, |q|>127 to the escape list, tail nonzeros
 // counted as spectral truncation. Shared by tf_dct_pack_dense and the
@@ -539,6 +629,152 @@ void tf_dct_pack_dense(const int16_t* coef_zz, int gby, int gbx, int cnh,
                  dc, ac, esc_idx, esc_val, &n_esc, stats);
     }
   }
+}
+
+// Bitmap-sparse pack (wire v4): per block a uint32 nonzero bitmap +
+// uint32 stream offset; nonzero values ride a shared per-plane int8
+// stream of capacity `vcap` (canvas-order here). Escapes as in v3.
+//   coef_zz: (gby*gbx, 64) int16 zigzag; image grid lands at the
+//   top-left of the (cnh, cnw) canvas; uncovered canvas blocks get
+//   neutral_dc, bitmap 0, offset 0.
+void tf_dct_pack_sparse(const int16_t* coef_zz, int gby, int gbx, int cnh,
+                        int cnw, int z_keep, long esc_cap, long vcap,
+                        int16_t neutral_dc, int16_t* dc, uint32_t* bitmap,
+                        uint32_t* offs, int8_t* vals, int32_t* esc_idx,
+                        int16_t* esc_val, int32_t* stats) {
+  const long cn = static_cast<long>(cnh) * cnw;
+  for (long i = 0; i < cn; ++i) dc[i] = neutral_dc;
+  std::memset(bitmap, 0, cn * sizeof(uint32_t));
+  std::memset(offs, 0, cn * sizeof(uint32_t));
+  std::memset(vals, 0, vcap);
+  for (long i = 0; i < esc_cap; ++i) esc_idx[i] = -1;
+  std::memset(esc_val, 0, esc_cap * sizeof(int16_t));
+  stats[0] = 0;
+  stats[1] = 0;
+
+  long n_esc = 0, n_vals = 0;
+  for (int by = 0; by < gby; ++by) {
+    for (int bx = 0; bx < gbx; ++bx) {
+      const int16_t* c = coef_zz + (static_cast<long>(by) * gbx + bx) * 64;
+      pack_block_sparse(c, static_cast<long>(by) * cnw + bx, z_keep, esc_cap,
+                        vcap, dc, bitmap, offs, vals, esc_idx, esc_val,
+                        &n_esc, &n_vals, stats);
+    }
+  }
+}
+
+// Fused entropy-decode + bitmap-sparse pack (wire v4): JPEG bytes ->
+// v4 wire fields in one pass (MCU-order value streams — offsets ship on
+// the wire so the order is free). Same scope/fallback contract as
+// tf_jpeg_dct_pack. Initializes every output region it owns.
+int tf_jpeg_dct_pack_sparse(
+    const uint8_t* data, long len, int cnh8, int cnw8, int z_keep_y,
+    int z_keep_c, long esc_cap_y, long esc_cap_c, long vcap_y, long vcap_c,
+    float neutral_y, float neutral_cb, float neutral_cr, int16_t* y_dc,
+    uint32_t* y_bm, uint32_t* y_off, int8_t* y_vals, int32_t* y_esc_idx,
+    int16_t* y_esc_val, int16_t* u_dc, uint32_t* u_bm, uint32_t* u_off,
+    int8_t* u_vals, int32_t* u_esc_idx, int16_t* u_esc_val, int16_t* v_dc,
+    uint32_t* v_bm, uint32_t* v_off, int8_t* v_vals, int32_t* v_esc_idx,
+    int16_t* v_esc_val, uint16_t* q_y, uint16_t* q_c, int32_t* hw_out,
+    int32_t* stats) {
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc) return rc;
+  if (ps.ncomp == 1) {
+    ps.comp[0].hs = 1;
+    ps.comp[0].vs = 1;
+  } else if (ps.comp[0].hs != 2 || ps.comp[0].vs != 2) {
+    return ERR_BAD_SAMPLING;  // fused path is 4:2:0-only
+  }
+  const int hs = ps.comp[0].hs, vs = ps.comp[0].vs;
+  const int mcus_x = (ps.w + 8 * hs - 1) / (8 * hs);
+  const int mcus_y = (ps.h + 8 * vs - 1) / (8 * vs);
+  const int cnh16 = cnh8 / 2, cnw16 = cnw8 / 2;
+  if (mcus_y * vs > cnh8 || mcus_x * hs > cnw8) return ERR_BUFFER;
+  if (ps.ncomp == 3 && (mcus_y > cnh16 || mcus_x > cnw16)) return ERR_BUFFER;
+  for (int c = 0; c < ps.ncomp; ++c)
+    if (!ps.hdc[ps.comp[c].td].defined || !ps.hac[ps.comp[c].ta].defined)
+      return ERR_BAD_HUFFMAN;
+
+  for (int i = 0; i < 64; ++i) {
+    q_y[i] = ps.qtab[ps.comp[0].tq][i];
+    q_c[i] = ps.ncomp == 3 ? ps.qtab[ps.comp[1].tq][i] : q_y[i];
+  }
+  const auto flat_dc = [](float v, uint16_t q) {
+    return static_cast<int16_t>(
+        std::lround(8.0 * (v - 128.0) / (q ? q : 1)));
+  };
+  const int16_t ndc_y = flat_dc(neutral_y, q_y[0]);
+  const int16_t ndc_u = ps.ncomp == 3 ? flat_dc(neutral_cb, q_c[0])
+                                      : static_cast<int16_t>(0);
+  const int16_t ndc_v = ps.ncomp == 3 ? flat_dc(neutral_cr, q_c[0])
+                                      : static_cast<int16_t>(0);
+
+  const long cny = static_cast<long>(cnh8) * cnw8;
+  const long cnc = static_cast<long>(cnh16) * cnw16;
+  for (long i = 0; i < cny; ++i) y_dc[i] = ndc_y;
+  for (long i = 0; i < cnc; ++i) u_dc[i] = ndc_u;
+  for (long i = 0; i < cnc; ++i) v_dc[i] = ndc_v;
+  std::memset(y_bm, 0, cny * sizeof(uint32_t));
+  std::memset(u_bm, 0, cnc * sizeof(uint32_t));
+  std::memset(v_bm, 0, cnc * sizeof(uint32_t));
+  std::memset(y_off, 0, cny * sizeof(uint32_t));
+  std::memset(u_off, 0, cnc * sizeof(uint32_t));
+  std::memset(v_off, 0, cnc * sizeof(uint32_t));
+  std::memset(y_vals, 0, vcap_y);
+  std::memset(u_vals, 0, vcap_c);
+  std::memset(v_vals, 0, vcap_c);
+  for (long i = 0; i < esc_cap_y; ++i) y_esc_idx[i] = -1;
+  for (long i = 0; i < esc_cap_c; ++i) u_esc_idx[i] = -1;
+  for (long i = 0; i < esc_cap_c; ++i) v_esc_idx[i] = -1;
+  std::memset(y_esc_val, 0, esc_cap_y * sizeof(int16_t));
+  std::memset(u_esc_val, 0, esc_cap_c * sizeof(int16_t));
+  std::memset(v_esc_val, 0, esc_cap_c * sizeof(int16_t));
+  stats[0] = 0;
+  stats[1] = 0;
+
+  int16_t* dcs[3] = {y_dc, u_dc, v_dc};
+  uint32_t* bms[3] = {y_bm, u_bm, v_bm};
+  uint32_t* ofs[3] = {y_off, u_off, v_off};
+  int8_t* vss[3] = {y_vals, u_vals, v_vals};
+  int32_t* eis[3] = {y_esc_idx, u_esc_idx, v_esc_idx};
+  int16_t* evs[3] = {y_esc_val, u_esc_val, v_esc_val};
+  const long ecaps[3] = {esc_cap_y, esc_cap_c, esc_cap_c};
+  const long vcaps[3] = {vcap_y, vcap_c, vcap_c};
+  const int zks[3] = {z_keep_y, z_keep_c, z_keep_c};
+  const int cnws[3] = {cnw8, cnw16, cnw16};
+  long n_esc[3] = {0, 0, 0};
+  long n_vals[3] = {0, 0, 0};
+
+  BitReader br(data + ps.scan_pos, data + len);
+  long mcu_count = 0;
+  for (int my = 0; my < mcus_y; ++my) {
+    for (int mx = 0; mx < mcus_x; ++mx) {
+      if (ps.restart_interval && mcu_count &&
+          mcu_count % ps.restart_interval == 0) {
+        if (!br.restart()) return br.err;
+        for (int c = 0; c < ps.ncomp; ++c) ps.comp[c].pred = 0;
+      }
+      for (int c = 0; c < ps.ncomp; ++c) {
+        Component& co = ps.comp[c];
+        for (int v = 0; v < co.vs; ++v) {
+          for (int hh = 0; hh < co.hs; ++hh) {
+            const long by = static_cast<long>(my) * co.vs + v;
+            const long bx = static_cast<long>(mx) * co.hs + hh;
+            if (!decode_block_pack_sparse(
+                    br, co, ps.hdc[co.td], ps.hac[co.ta], by * cnws[c] + bx,
+                    zks[c], ecaps[c], vcaps[c], dcs[c], bms[c], ofs[c],
+                    vss[c], eis[c], evs[c], &n_esc[c], &n_vals[c], stats))
+              return br.err ? br.err : ERR_BAD_HUFFMAN;
+          }
+        }
+      }
+      ++mcu_count;
+    }
+  }
+  hw_out[0] = ps.h;
+  hw_out[1] = ps.w;
+  return 0;
 }
 
 // Fused entropy-decode + zigzag-dense pack: JPEG bytes -> wire fields

@@ -177,8 +177,9 @@ class PyramidDetector:
         + fancy chroma upsample + normalize on device (ops/jpeg.py) —
         detect_batch then accepts raw JPEG bytes (or DCTImage), skipping
         the host decode entirely; uint8 arrays are transparently encoded
-        first (data/jpegdct.py)."""
-        if transfer not in ("rgb", "yuv420", "jpegdct"):
+        first (data/jpegdct.py); "jpegdct4" is the same pipeline over the
+        bitmap-sparse wire v4 (~2/3 the H2D bytes; data/jpegdct.py)."""
+        if transfer not in ("rgb", "yuv420", "jpegdct", "jpegdct4"):
             raise ValueError(f"unknown transfer mode {transfer!r}")
         if shard not in ("batch", "spatial", "auto"):
             raise ValueError(f"unknown shard mode {shard!r}")
@@ -247,18 +248,22 @@ class PyramidDetector:
             # Decode/normalize straight into the model's compute dtype:
             # halves the unpack+resize stages' HBM traffic for bf16
             # inference (the first conv casts anyway).
-            if transfer == "jpegdct":
+            if transfer.startswith("jpegdct"):
                 from tinyfaces_tpu.ops.jpeg import (
-                    dct_batch_to_normalized, wire_fields,
+                    dct4_batch_to_normalized, dct_batch_to_normalized,
+                    wire_fields,
                 )
 
+                version = 4 if transfer == "jpegdct4" else 3
                 b = images_in["_wire"].shape[0]
-                fields = wire_fields(images_in["_wire"], h0p, w0p)
+                fields = wire_fields(images_in["_wire"], h0p, w0p,
+                                     version=version)
                 # per-image true sizes ride inside the wire buffer
                 h0 = fields["h0w0"][:, 0]
                 w0 = fields["h0w0"][:, 1]
-                x0 = dct_batch_to_normalized(fields, h0p, w0p,
-                                             dtype=self.model.dtype)
+                unpack = (dct4_batch_to_normalized if version == 4
+                          else dct_batch_to_normalized)
+                x0 = unpack(fields, h0p, w0p, dtype=self.model.dtype)
             elif transfer == "yuv420":
                 from tinyfaces_tpu.data.targets import yuv420_to_normalized
 
@@ -451,7 +456,7 @@ class PyramidDetector:
         nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
         scales = tuple(self.ec.scales if scales is None else scales)
 
-        if self.transfer == "jpegdct":
+        if self.transfer.startswith("jpegdct"):
             from tinyfaces_tpu.data import jpegdct
 
             # Raw JPEG bytes stay raw: a header-only dims probe sizes the
@@ -470,7 +475,9 @@ class PyramidDetector:
                 hs.append(dims[0])
                 ws.append(dims[1])
             h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
-            wire = jpegdct.pack_dct_batch(dcts, h0p, w0p)
+            wire = jpegdct.pack_dct_batch(
+                dcts, h0p, w0p,
+                wire_version=4 if self.transfer == "jpegdct4" else 3)
             # ONE coalesced H2D put per batch — every put pays the
             # tunnel's per-transfer latency (docs/PERF.md round 3); the
             # per-image sizes ride inside as the h0w0 field.
@@ -498,7 +505,7 @@ class PyramidDetector:
                 images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
             else:
                 images_j = jnp.asarray(batch)
-        if self.transfer == "jpegdct":
+        if self.transfer.startswith("jpegdct"):
             # per-image sizes ride inside the wire buffer (h0w0 field) —
             # no separate put
             hs_j = ws_j = None

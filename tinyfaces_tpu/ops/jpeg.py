@@ -92,6 +92,49 @@ def reconstruct_plane_dense(
     return jnp.clip(plane + 128.0, 0.0, 255.0)
 
 
+def reconstruct_plane_sparse(
+    dc: jnp.ndarray,       # (NB,) int16 quantized DC
+    bitmap: jnp.ndarray,   # (NB,) uint32 nonzero bitmap (bit k-1 = zz pos k)
+    offs: jnp.ndarray,     # (NB,) uint32 offset into the value stream
+    vals: jnp.ndarray,     # (V,) int8 packed nonzero values (clamped)
+    esc_idx: jnp.ndarray,  # (E,) int32 flat index into NB*Z, -1 = unused
+    esc_val: jnp.ndarray,  # (E,) int16 true value for escaped entries
+    qtab: jnp.ndarray,     # (64,) uint16 quant table, ZIGZAG order
+    nbh: int,
+    nbw: int,
+    z: int,
+) -> jnp.ndarray:
+    """Bitmap-sparse (wire v4) coefficients -> (nbh*8, nbw*8) fp32 plane.
+
+    Expansion to the dense (NB, Z) tensor is popcount-rank + ONE batched
+    gather from the value stream — gathers vectorize on TPU where the v1
+    sparse wire's scatter serialized (423 ms/batch32, docs/PERF.md). The
+    rest (escape overwrite, dequant + dezigzag + IDCT basis matmul) is
+    identical to the dense path."""
+    nb = dc.shape[0]
+    zz = jnp.arange(z, dtype=jnp.uint32)
+    bm = bitmap[:, None]                                   # (NB, 1)
+    present = (bm >> zz) & jnp.uint32(1)                   # (NB, Z)
+    rank = jax.lax.population_count(
+        bm & ((jnp.uint32(1) << zz) - jnp.uint32(1)))      # (NB, Z)
+    idx = (offs[:, None] + rank).astype(jnp.int32)
+    idx = jnp.minimum(idx, jnp.int32(vals.shape[0] - 1))
+    acf = jnp.where(present != 0, vals[idx].astype(jnp.float32), 0.0)
+
+    eidx = jnp.where(esc_idx >= 0, esc_idx, nb * z)
+    acf = acf.reshape(nb * z).at[eidx].set(
+        esc_val.astype(jnp.float32), mode="drop").reshape(nb, z)
+
+    qf = qtab.astype(jnp.float32)
+    coeff = jnp.concatenate(
+        [dc.astype(jnp.float32)[:, None] * qf[0], acf * qf[1:z + 1]], axis=1)
+    basis = jnp.asarray(_BASIS_ZZ[: z + 1], jnp.float32)
+    px = jnp.dot(coeff, basis, preferred_element_type=jnp.float32)
+    plane = px.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3).reshape(
+        nbh * 8, nbw * 8)
+    return jnp.clip(plane + 128.0, 0.0, 255.0)
+
+
 def _fancy_upsample_1d(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """libjpeg 'fancy' (triangle) 2x upsample along one axis: out[2i] =
     (3 in[i] + in[i-1]) / 4, out[2i+1] = (3 in[i] + in[i+1]) / 4, edges
@@ -140,14 +183,15 @@ def ycc_planes_to_normalized(
     return ((x - mean) / std).astype(dtype)
 
 
-def wire_fields(wire_u8: jnp.ndarray, h0p: int, w0p: int) -> dict:
+def wire_fields(wire_u8: jnp.ndarray, h0p: int, w0p: int,
+                version: int = 3) -> dict:
     """Slice + bitcast every logical field out of the (B, total_bytes)
     coalesced wire buffer. Free inside the compiled program (static
     offsets); multi-byte fields bitcast from adjacent byte pairs/quads
     (both host and XLA are little-endian — pinned by tests)."""
-    from tinyfaces_tpu.data.jpegdct import wire_layout
+    from tinyfaces_tpu.data.jpegdct import wire_layout, wire_layout_v4
 
-    layout = wire_layout(h0p, w0p)
+    layout = (wire_layout_v4 if version == 4 else wire_layout)(h0p, w0p)
     layout.pop("__total__")
     fields = {}
     for name, (off, n, npdtype) in layout.items():
@@ -163,6 +207,30 @@ def wire_fields(wire_u8: jnp.ndarray, h0p: int, w0p: int) -> dict:
                 getattr(jnp, npdtype.name))
         fields[name] = arr
     return fields
+
+
+def dct4_batch_to_normalized(wire: dict, h0p: int, w0p: int,
+                             dtype=jnp.float32) -> jnp.ndarray:
+    """Wire-v4 (bitmap-sparse) analogue of dct_batch_to_normalized."""
+    if "_wire" in wire:
+        wire = wire_fields(wire["_wire"], h0p, w0p, version=4)
+    nbh, nbw = h0p // 8, w0p // 8
+    nbch, nbcw = h0p // 16, w0p // 16
+
+    from tinyfaces_tpu.data.jpegdct import Z_KEEP_C, Z_KEEP_Y
+
+    def rec(p, nh, nw, z):
+        return jax.vmap(
+            lambda d, bm, of, vs, ei, ev, q: reconstruct_plane_sparse(
+                d, bm, of, vs, ei, ev, q, nbh=nh, nbw=nw, z=z)
+        )(wire[f"{p}_dc"], wire[f"{p}_bm"], wire[f"{p}_off"],
+          wire[f"{p}_vals"], wire[f"{p}_esc_idx"], wire[f"{p}_esc_val"],
+          wire["q_y" if p == "y" else "q_c"])
+
+    y = rec("y", nbh, nbw, Z_KEEP_Y)
+    cb = rec("u", nbch, nbcw, Z_KEEP_C)
+    cr = rec("v", nbch, nbcw, Z_KEEP_C)
+    return ycc_planes_to_normalized(y, cb, cr, dtype=dtype)
 
 
 def dct_batch_to_normalized(wire: dict, h0p: int, w0p: int,

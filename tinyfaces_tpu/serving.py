@@ -60,7 +60,7 @@ class DetectionService:
         entropy-decode + pack at dispatch — half the host CPU of
         parse-then-pack. Other inputs are coerced on the caller's
         thread (GIL-free C++), parallel across client threads."""
-        if getattr(self.detector, "transfer", "rgb") == "jpegdct":
+        if getattr(self.detector, "transfer", "rgb").startswith("jpegdct"):
             from tinyfaces_tpu.data.jpegdct import as_dct_image, jpeg_dims
 
             if isinstance(image, (bytes, bytearray, memoryview)):

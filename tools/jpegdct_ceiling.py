@@ -36,6 +36,9 @@ def main():
                          " the timed loop uploads + dispatches + fetches"
                          " with depth-3 pipelining — isolates whether H2D"
                          " serializes with execution on the tunnel.")
+    ap.add_argument("--transfer", choices=["jpegdct", "jpegdct4"],
+                    default="jpegdct",
+                    help="wire format: v3 zigzag-dense or v4 bitmap-sparse.")
     ap.add_argument("--fused-blocks", choices=["default", "on", "off"],
                     default="default",
                     help="override EvalConfig.fused_blocks for an A/B of"
@@ -64,7 +67,7 @@ def main():
 
         ec = dataclasses.replace(ec, fused_blocks=args.fused_blocks == "on")
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
-                          ec=ec, transfer="jpegdct")
+                          ec=ec, transfer=args.transfer)
 
     h, w = 768, 1024
     B, iters = args.batch, args.iters
@@ -78,7 +81,8 @@ def main():
             buf = io.BytesIO()
             Image.fromarray(im).save(buf, "JPEG", quality=90, subsampling=2)
             dcts.append(jpegdct.parse_jpeg_dct(buf.getvalue()))
-        return jpegdct.pack_dct_batch(dcts, h, w)
+        return jpegdct.pack_dct_batch(
+            dcts, h, w, wire_version=4 if args.transfer == "jpegdct4" else 3)
 
     h0p, w0p = h, w
     host_wires = [wire_for(i)["_wire"] for i in range(iters)]
@@ -95,7 +99,7 @@ def main():
             det.variables, det.templates_j, {"_wire": wire_dev}, None, None,
             scales=tuple(det.ec.scales), h0p=h0p, w0p=w0p,
             prob_thresh=float(det.ec.prob_thresh),
-            nms_thresh=float(det.ec.nms_thresh), transfer="jpegdct",
+            nms_thresh=float(det.ec.nms_thresh), transfer=args.transfer,
         )
 
     # warmup / compile (cache-hit if bench.py ran at this batch size)

@@ -139,7 +139,9 @@ def warm_train(transfer: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--transfer", choices=("both", "yuv420", "rgb", "jpegdct"),
+    ap.add_argument("--transfer",
+                    choices=("both", "yuv420", "rgb", "jpegdct",
+                             "jpegdct4"),
                     default="yuv420",
                     help="wire formats to warm (default: yuv420; 'both' = "
                          "yuv420 + rgb)")
