@@ -167,14 +167,23 @@ def main():
     # -> in-flight fused dispatches).
     iters = int(os.environ.get("BENCH_ITERS", str(max(2, 128 // batch))))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
-    submit = ThreadPoolExecutor(1)  # serializes dispatch order
+    pack_pool = ThreadPoolExecutor(1)  # CPU-bound host pack, runs ahead
+    submit = ThreadPoolExecutor(1)  # serializes upload + dispatch order
 
     def run_window():
+        # Two host stages: pack (C++ decode+pack, CPU-bound) and
+        # upload+dispatch (network-bound). A single fused stage
+        # serializes them per batch — pack of batch i+1 then waits out
+        # the upload of batch i even though the core is idle during the
+        # network wait (~35 ms/batch32 unhidden on a 1-core host).
         q = collections.deque()
         t0 = time.time()
-        for _ in range(iters):
+        packs = [pack_pool.submit(
+            lambda: detector.pack_inputs(make_inputs()))
+            for _ in range(iters)]
+        for p in packs:
             q.append(submit.submit(
-                lambda: detector.detect_batch_async(make_inputs())))
+                lambda p=p: detector.detect_batch_async(p.result())))
             if len(q) > depth:
                 detector._fetch(q.popleft().result())
         last = None

@@ -181,11 +181,13 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             if done % 25 == 0 or done == n:
                 print(f"[{done}/{n}] {img_path}: {d.shape[0]} detections")
 
-    # Host prep (fused C++ entropy-decode + pack + upload, all
-    # GIL-releasing) runs on a single submission worker so it overlaps the
-    # main thread's fetch waits — on a 1-core host a synchronous pack in
-    # the flush path leaves the core idle during every network wait
-    # (bench.py measured the same structure best on the tunnel).
+    # Host prep splits into two single-worker stages: pack (CPU-bound
+    # C++ entropy-decode + pack) and upload+dispatch (network-bound). A
+    # single fused worker serializes them per batch, leaving the core
+    # idle during every network wait on a 1-core host (bench.py measured
+    # the same structure on the tunnel); pack_pool lets the next group's
+    # decode run under the current group's upload.
+    pack_pool = ThreadPoolExecutor(1)
     submit_pool = ThreadPoolExecutor(1)  # one worker: keeps dispatch order
 
     def flush(bucket):
@@ -194,10 +196,12 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
         # pad the group to the bucket's fixed batch size (stable compile
         # shapes); surplus outputs are discarded
         imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
+        packed = pack_pool.submit(detector.pack_inputs, imgs)
         pending.append(
             (items,
-             submit_pool.submit(detector.detect_batch_async, imgs,
-                                prob_thresh, nms_thresh))
+             submit_pool.submit(
+                 lambda p=packed: detector.detect_batch_async(
+                     p.result(), prob_thresh, nms_thresh)))
         )
         while len(pending) > inflight:
             settle(pending.popleft())

@@ -289,3 +289,36 @@ def test_wider_val_bucket_ladder_is_small():
 
     for bucket, batch in plan.items():
         assert batch == bucket_batch_for(bucket, 8)
+
+
+def test_pack_inputs_roundtrip_all_transfers():
+    """pack_inputs -> detect_batch_async(PackedBatch) matches the fused
+    pack-at-dispatch path for every wire format (bench.py pipelines the
+    two host stages separately on a 1-core host)."""
+    import io
+
+    from PIL import Image
+
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0), input_size=(128, 128))
+    variables = {"params": params, "batch_stats": batch_stats}
+    ec = EvalConfig(max_dets_per_scale=50, max_total_dets=50)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92, subsampling=2)
+    jpeg = buf.getvalue()
+
+    for transfer in ("rgb", "yuv420", "jpegdct", "jpegdct4"):
+        det = PyramidDetector(model, variables, templates,
+                              cfg=DetectorConfig(), ec=ec, transfer=transfer)
+        inp = [jpeg] if transfer.startswith("jpegdct") else [img]
+        a = det._fetch(det.detect_batch_async(
+            inp, prob_thresh=0.1, scales=(0,)))[0]
+        packed = det.pack_inputs(inp)
+        b = det._fetch(det.detect_batch_async(
+            packed, prob_thresh=0.1, scales=(0,)))[0]
+        np.testing.assert_allclose(a, b, err_msg=transfer)

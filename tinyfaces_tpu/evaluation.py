@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import partial
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +135,20 @@ def _round_up(x: int) -> int:
     64-px bucket instead of under/overflowing the shift."""
     m = max(64, min(512, 1 << max(max(x - 1, 1).bit_length() - 3, 0)))
     return ((x + m - 1) // m) * m
+
+
+class PackedBatch(NamedTuple):
+    """Upload-ready host half of one detector batch (pack_inputs):
+    `host` is the transfer-specific array payload ({"_wire": ...} for
+    jpegdct*, (y, u, v) planes for yuv420, the uint8 canvas for rgb);
+    hs/ws are per-image true sizes (None when they ride inside the
+    wire); h0p/w0p the padded canvas."""
+
+    host: object
+    hs: Optional[np.ndarray]
+    ws: Optional[np.ndarray]
+    h0p: int
+    w0p: int
 
 
 class PyramidDetector:
@@ -441,21 +455,13 @@ class PyramidDetector:
             images, prob_thresh, nms_thresh, scales
         ))
 
-    def detect_batch_async(
-        self,
-        images: Sequence[np.ndarray],
-        prob_thresh: Optional[float] = None,
-        nms_thresh: Optional[float] = None,
-        scales: Optional[Sequence[int]] = None,
-    ):
-        """Non-blocking variant: enqueues the transfer + fused program and
-        returns device futures immediately, so callers can pipeline host
-        prep / transfers of batch i+1 against device compute of batch i.
-        Resolve with `_fetch`."""
-        prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
-        nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
-        scales = tuple(self.ec.scales if scales is None else scales)
-
+    def pack_inputs(self, images: Sequence[np.ndarray]) -> "PackedBatch":
+        """Host-side half of detect_batch_async: decode/pack `images`
+        into upload-ready host arrays (CPU-bound, GIL-dropping C++ for
+        jpegdct) WITHOUT touching the device. Feed the result back to
+        detect_batch_async — on a single-core host this lets a pack
+        worker overlap the (network-bound) upload+dispatch thread, which
+        a fused pack-then-upload call serializes."""
         if self.transfer.startswith("jpegdct"):
             from tinyfaces_tpu.data import jpegdct
 
@@ -478,45 +484,77 @@ class PyramidDetector:
             wire = jpegdct.pack_dct_batch(
                 dcts, h0p, w0p,
                 wire_version=4 if self.transfer == "jpegdct4" else 3)
+            return PackedBatch({"_wire": wire["_wire"]}, None, None,
+                               h0p, w0p)
+
+        hs = [im.shape[0] for im in images]
+        ws = [im.shape[1] for im in images]
+        h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
+
+        # Fill only the padding margins (a full-canvas memset costs more
+        # than the device work at batch 16; np.empty itself is free). A
+        # fresh buffer per call keeps async in-flight transfers safe.
+        batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            batch[i, :h, :w] = im
+            if w < w0p:
+                batch[i, :h, w:] = MEAN_PIXEL
+            if h < h0p:
+                batch[i, h:] = MEAN_PIXEL
+
+        if self.transfer == "yuv420":
+            from tinyfaces_tpu.data.targets import rgb_to_yuv420
+
+            host = tuple(rgb_to_yuv420(batch))
+        else:
+            host = batch
+        return PackedBatch(host, np.asarray(hs, np.int32),
+                           np.asarray(ws, np.int32), h0p, w0p)
+
+    def detect_batch_async(
+        self,
+        images,
+        prob_thresh: Optional[float] = None,
+        nms_thresh: Optional[float] = None,
+        scales: Optional[Sequence[int]] = None,
+    ):
+        """Non-blocking variant: enqueues the transfer + fused program and
+        returns device futures immediately, so callers can pipeline host
+        prep / transfers of batch i+1 against device compute of batch i.
+        Resolve with `_fetch`. Accepts raw images or a pre-packed
+        PackedBatch (pack_inputs) — the latter makes host prep its own
+        pipeline stage."""
+        prob_thresh = self.ec.prob_thresh if prob_thresh is None else prob_thresh
+        nms_thresh = self.ec.nms_thresh if nms_thresh is None else nms_thresh
+        scales = tuple(self.ec.scales if scales is None else scales)
+
+        packed = (images if isinstance(images, PackedBatch)
+                  else self.pack_inputs(images))
+        h0p, w0p = packed.h0p, packed.w0p
+        if self.transfer.startswith("jpegdct"):
             # ONE coalesced H2D put per batch — every put pays the
             # tunnel's per-transfer latency (docs/PERF.md round 3); the
             # per-image sizes ride inside as the h0w0 field.
-            images_j = {"_wire": jnp.asarray(wire["_wire"])}
+            images_j = {"_wire": jnp.asarray(packed.host["_wire"])}
+        elif self.transfer == "yuv420":
+            images_j = tuple(jnp.asarray(p) for p in packed.host)
         else:
-            hs = [im.shape[0] for im in images]
-            ws = [im.shape[1] for im in images]
-            h0p, w0p = _round_up(max(hs)), _round_up(max(ws))
-
-            # Fill only the padding margins (a full-canvas memset costs more
-            # than the device work at batch 16; np.empty itself is free). A
-            # fresh buffer per call keeps async in-flight transfers safe.
-            batch = np.empty((len(images), h0p, w0p, 3), np.uint8)
-            for i, im in enumerate(images):
-                h, w = im.shape[:2]
-                batch[i, :h, :w] = im
-                if w < w0p:
-                    batch[i, :h, w:] = MEAN_PIXEL
-                if h < h0p:
-                    batch[i, h:] = MEAN_PIXEL
-
-            if self.transfer == "yuv420":
-                from tinyfaces_tpu.data.targets import rgb_to_yuv420
-
-                images_j = tuple(jnp.asarray(p) for p in rgb_to_yuv420(batch))
-            else:
-                images_j = jnp.asarray(batch)
+            images_j = jnp.asarray(packed.host)
         if self.transfer.startswith("jpegdct"):
             # per-image sizes ride inside the wire buffer (h0w0 field) —
             # no separate put
             hs_j = ws_j = None
+            n_imgs = packed.host["_wire"].shape[0]
         else:
-            hs_j = jnp.asarray(hs, jnp.int32)
-            ws_j = jnp.asarray(ws, jnp.int32)
+            hs_j = jnp.asarray(packed.hs, jnp.int32)
+            ws_j = jnp.asarray(packed.ws, jnp.int32)
+            n_imgs = int(packed.hs.shape[0])
         if self.mesh is not None:
             from tinyfaces_tpu.parallel.mesh import batch_sharding, replicate
             from tinyfaces_tpu.parallel.spatial import choose_eval_sharding
 
-            sh = choose_eval_sharding(self.mesh, len(images), self.shard)
+            sh = choose_eval_sharding(self.mesh, n_imgs, self.shard)
             images_j = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sh), images_j
             )
