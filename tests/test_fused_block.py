@@ -171,3 +171,65 @@ def test_fused_stage_xla_fallback_on_untileable_height():
         dtype=jnp.float32, th=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cin,width", [(256, 64), (64, 32)])
+def test_fused_bottleneck_blocked_matches_module(cin, width):
+    """Blocked-spec kernel (side halo tensor) vs the flax module."""
+    rng = np.random.default_rng(11)
+    m, v = _bottleneck_vars(jax.random.PRNGKey(3), cin, width)
+    v = _randomize_bn(v, rng)
+    B, H, W = 2, 16, 64
+    x = jnp.asarray(rng.normal(size=(B, H, W, cin)).astype(np.float32))
+    ref = m.apply(v, x, False)
+    fw = fused_block.fold_block_weights(v["params"], v["batch_stats"],
+                                        jnp.float32)
+    got = fused_block.fused_bottleneck_blocked(x, fw, th=4, interpret=True,
+                                               dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_fused_stage_blocked_matches_module_stack():
+    """impl="blocked" through a 3-block stage equals the module stack
+    (border zero-padding semantics across tile boundaries included)."""
+    rng = np.random.default_rng(12)
+    B, H, W, cin, width = 1, 8, 64, 64, 32
+
+    ms, vs = [], []
+    for i in range(3):
+        m, v = _bottleneck_vars(jax.random.PRNGKey(i),
+                                cin if i == 0 else width * 4, width)
+        v = _randomize_bn(v, rng)
+        ms.append(m)
+        vs.append(v)
+
+    x = jnp.asarray(rng.normal(size=(B, H, W, cin)).astype(np.float32))
+    ref = x
+    for m, v in zip(ms, vs):
+        ref = m.apply(v, ref, False)
+
+    got = fused_block.fused_stage(
+        x, [v["params"] for v in vs], [v["batch_stats"] for v in vs],
+        width=width, first_stride=1, dtype=jnp.float32, th=4,
+        interpret=True, impl="blocked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_full_model_fused_layers12_blocked_equivalence():
+    """stem_and_fused_layers12(impl="blocked") + layer3/heads == the full
+    module forward."""
+    model = TinyFacesDetector(stage_sizes=(2, 2, 1), dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    variables = {"params": params, "batch_stats": batch_stats}
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    ref = model.apply(variables, x, train=False)
+    res3 = fused_block.stem_and_fused_layers12(
+        variables, x, stage_sizes=(2, 2, 1), dtype=jnp.float32,
+        interpret=True, impl="blocked")
+    got = model.apply(variables, res3, train=False, layer2_precomputed=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)

@@ -106,3 +106,9 @@ class EvalConfig:
     # yet measured on hardware; the flag flips on once a measured win
     # exists.
     fused_blocks: bool = False
+    # Kernel flavor for fused_blocks: "element" = overlapping pl.Element
+    # reads on halo-padded activations (measured: per-tile DMA serializes
+    # with compute — no Mosaic double-buffering); "blocked" = standard
+    # Blocked tiles + a precomputed 2-row halo side tensor (auto
+    # double-buffered, at 2/TH extra input reads).
+    fused_block_impl: str = "element"

@@ -303,7 +303,8 @@ class PyramidDetector:
                         variables, xin,
                         stage_sizes=tuple(self.model.stage_sizes),
                         dtype=self.model.dtype,
-                        stem_precomputed=stem_precomputed)
+                        stem_precomputed=stem_precomputed,
+                        impl=self.ec.fused_block_impl)
                     return model.apply(variables, res3, train=False,
                                        layer2_precomputed=True)
                 if not self.ec.packed_layer1:

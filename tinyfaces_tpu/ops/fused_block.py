@@ -197,6 +197,127 @@ def fused_bottleneck(xp: jnp.ndarray, fw: dict, *, th: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# Blocked-spec variant: standard Blocked tiling + a precomputed 2-row halo
+# tensor, so Mosaic's automatic input/output double-buffering applies.
+# ---------------------------------------------------------------------------
+
+def _block_kernel_blocked(x_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          w3_ref, b3_ref, *rest, th: int, hh: int, wdt: int,
+                          cin: int, cmid: int, cout: int, has_proj: bool,
+                          dtype):
+    """One (1, TH, W, Cin) Blocked tile + its (2, W, Cin) halo rows ->
+    (1, TH, W, Cout) tile. Same math as _block_kernel; the halo travels
+    as a second input instead of overlapping Element reads, because
+    Element-indexed blocks measured serialized DMA (no double-buffering,
+    docs/PERF.md round 3h)."""
+    if has_proj:
+        wp_ref, bp_ref, o_ref = rest
+    else:
+        o_ref = rest[0]
+
+    i = pl.program_id(1)
+    x = jnp.concatenate(
+        [halo_ref[0, 0, :1], x_ref[0], halo_ref[0, 0, 1:]], axis=0)
+
+    f32 = jnp.float32
+    xm = x.reshape((th + 2) * wdt, cin)
+
+    t1 = jnp.dot(xm, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    t1 = jnp.maximum(t1, 0.0).astype(dtype).reshape(th + 2, wdt, cmid)
+    # The halo rows are real rows from jnp.pad'ed x, so a border halo row
+    # is zero — but t1 = relu(0 @ w1 + b1) != 0 there; re-zero t1 outside
+    # the image so the 3x3 sees its zero padding (interior halo rows are
+    # real and stay).
+    gp = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0) + i * th - 1
+    t1 = jnp.where((gp >= 0) & (gp < hh), t1, jnp.zeros((), t1.dtype))
+
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (0, 0)))
+    acc = b2_ref[:].astype(f32) * jnp.ones((th * wdt, 1), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = t1p[dy:dy + th, dx:dx + wdt].reshape(th * wdt, cmid)
+            acc = acc + jnp.dot(patch, w2_ref[dy, dx],
+                                preferred_element_type=f32)
+    t2 = jnp.maximum(acc, 0.0).astype(dtype)
+
+    y = (jnp.dot(t2, w3_ref[:], preferred_element_type=f32)
+         + b3_ref[:]).astype(dtype)
+
+    x_mid = x_ref[0].reshape(th * wdt, cin)
+    if has_proj:
+        skip = (jnp.dot(x_mid, wp_ref[:], preferred_element_type=f32)
+                + bp_ref[:]).astype(dtype)
+    else:
+        skip = x_mid
+    o = jnp.maximum(y + skip, jnp.zeros((), dtype))
+    o_ref[0] = o.reshape(th, wdt, cout)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("th", "interpret", "dtype"),
+)
+def fused_bottleneck_blocked(x: jnp.ndarray, fw: dict, *, th: int = 8,
+                             interpret: bool = False,
+                             dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """One stride-1 bottleneck on UNPADDED activations via Blocked specs.
+
+    x: (B, H, W, Cin) -> (B, H, W, Cout). The 2 halo rows each tile
+    needs are gathered into a (B, nH, 2, W, Cin) side tensor by XLA
+    strided slices (2/TH extra read traffic) so every pallas operand is
+    a standard Blocked block — the layout Mosaic double-buffers
+    automatically. The Element-spec variant (fused_bottleneck) measured
+    its per-tile DMA serialized with compute (17.9 ms/block at layer1
+    where ~6 is roofline, docs/PERF.md round 3h)."""
+    b, hh, wdt, cin = x.shape
+    assert hh % th == 0, (hh, th)
+    nh = hh // th
+    cmid = fw["w1"].shape[1]
+    cout = fw["w3"].shape[1]
+    has_proj = "wp" in fw
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    tops = xp[:, 0:nh * th:th]          # row above each tile (padded idx)
+    bots = xp[:, th + 1::th]            # row below each tile
+    halo = jnp.stack([tops, bots], axis=2)   # (B, nH, 2, W, Cin)
+
+    kern = functools.partial(
+        _block_kernel_blocked, th=th, hh=hh, wdt=wdt, cin=cin, cmid=cmid,
+        cout=cout, has_proj=has_proj, dtype=dtype)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, th, wdt, cin), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, 1, 2, wdt, cin),
+                          lambda bi, i: (bi, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, th, wdt, cout), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    ins = [fw["w1"], fw["b1"], fw["w2"], fw["b2"], fw["w3"], fw["b3"]]
+    in_specs = [x_spec, h_spec] + [vspec] * 6
+    if has_proj:
+        ins += [fw["wp"], fw["bp"]]
+        in_specs += [vspec, vspec]
+
+    flops = 2 * b * hh * wdt * (cin * cmid + 9 * cmid * cmid + cmid * cout
+                                + (cin * cout if has_proj else 0))
+    bytes_est = x.dtype.itemsize * b * hh * wdt * (cin + cout)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, wdt, cout), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_est, transcendentals=0),
+    )(x, halo, *ins)
+
+
+# ---------------------------------------------------------------------------
 # Fused 3x3/2 max pool writing the halo-padded layout directly
 # ---------------------------------------------------------------------------
 
@@ -313,14 +434,16 @@ def xla_bottleneck(x, params, stats, *, stride: int = 1, dtype=jnp.bfloat16):
 def fused_stage(x: jnp.ndarray, stage_params: list, stage_stats: list, *,
                 width: int, first_stride: int, dtype=jnp.bfloat16,
                 th: int = 4, interpret: bool = False,
-                prepadded: bool = False) -> jnp.ndarray:
+                prepadded: bool = False, impl: str = "element") -> jnp.ndarray:
     """Run one ResNet stage: strided entry block (if any) via XLA convs,
     every stride-1 block through the fused Pallas kernel.
 
     x: (B, H, W, Cin) unpadded — or, with `prepadded=True` (stride-1
-    stages only), the (B, H+2, W, Cin) halo-padded layout (halo rows may
-    be garbage: the kernels mask them). Returns (B, H', W', 4*width)
-    unpadded.
+    stages only, impl="element"), the (B, H+2, W, Cin) halo-padded
+    layout (halo rows may be garbage: the kernels mask them). Returns
+    (B, H', W', 4*width) unpadded. `impl`: "element" = overlapping
+    Element reads on halo-padded activations; "blocked" = Blocked tiles
+    + a side halo tensor (Mosaic auto-double-buffered).
     """
     start = 0
     if first_stride != 1:
@@ -337,8 +460,17 @@ def fused_stage(x: jnp.ndarray, stage_params: list, stage_stats: list, *,
             x = xla_bottleneck(x, p, s, stride=1, dtype=dtype)
         return x
 
-    xp = x if prepadded else jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     n = len(stage_params)
+    if impl == "blocked":
+        if prepadded:
+            x = x[:, 1:hh + 1]
+        for bi in range(start, n):
+            fw = fold_block_weights(stage_params[bi], stage_stats[bi], dtype)
+            x = fused_bottleneck_blocked(x, fw, th=th, interpret=interpret,
+                                         dtype=dtype)
+        return x
+
+    xp = x if prepadded else jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     for bi in range(start, n):
         fw = fold_block_weights(stage_params[bi], stage_stats[bi], dtype)
         xp = fused_bottleneck(xp, fw, th=th, final=(bi == n - 1),
@@ -348,7 +480,8 @@ def fused_stage(x: jnp.ndarray, stage_params: list, stage_stats: list, *,
 
 def stem_and_fused_layers12(variables, x, *, stage_sizes, dtype=jnp.bfloat16,
                             stem_precomputed: bool = False, th: int = 4,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            impl: str = "element") -> jnp.ndarray:
     """conv1 stem -> fused layer1 -> fused layer2; returns res3 (layer2 out).
 
     The caller finishes with model.apply(..., layer2_precomputed=True),
@@ -386,5 +519,5 @@ def stem_and_fused_layers12(variables, x, *, stage_sizes, dtype=jnp.bfloat16,
         ss = [s[f"layer{stage_idx}_{i}"] for i in range(n_blocks)]
         x = fused_stage(x, sp, ss, width=width,
                         first_stride=1 if stage_idx == 1 else 2,
-                        dtype=dtype, th=th, interpret=interpret)
+                        dtype=dtype, th=th, interpret=interpret, impl=impl)
     return x

@@ -44,6 +44,10 @@ def main():
                     help="override EvalConfig.fused_blocks for an A/B of"
                          " the Pallas bottleneck path (ops/fused_block.py)"
                          " against the XLA conv path.")
+    ap.add_argument("--fused-impl", choices=["element", "blocked"],
+                    default="element",
+                    help="fused-bottleneck kernel flavor (with"
+                         " --fused-blocks on).")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
@@ -65,7 +69,8 @@ def main():
     if args.fused_blocks != "default":
         import dataclasses
 
-        ec = dataclasses.replace(ec, fused_blocks=args.fused_blocks == "on")
+        ec = dataclasses.replace(ec, fused_blocks=args.fused_blocks == "on",
+                                 fused_block_impl=args.fused_impl)
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
                           ec=ec, transfer=args.transfer)
 
