@@ -122,9 +122,9 @@ class DetectionService:
         return (_round_up(image.shape[0]), _round_up(image.shape[1]))
 
     def _resolve(self, entry) -> None:
-        async_result, group = entry
+        submitted, group = entry
         try:
-            results = self.detector._fetch(async_result)
+            results = self.detector._fetch(submitted.result())
             for (_, fut), dets in zip(group, results):
                 fut.set_result(dets)
         except Exception as e:
@@ -144,20 +144,30 @@ class DetectionService:
         return images + [images[-1]] * (n - len(images))
 
     def _run(self) -> None:
-        pending: list = []  # in-flight [(async_result, group)], depth <= 2
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Two host stages (same structure as bench.py / the eval sweep):
+        # pack (CPU-bound C++ decode+pack) and upload+dispatch
+        # (network-bound, one worker to keep dispatch order). Packing
+        # group i+1 in the dispatcher thread would serialize behind
+        # group i's upload on a 1-core host.
+        pack_pool = ThreadPoolExecutor(1)
+        submit_pool = ThreadPoolExecutor(1)
+        pending: list = []  # in-flight [(submitted_future, group)], depth <= 2
         while not self._stop.is_set() or not self._queue.empty() or pending:
             group = self._drain_group()
             if group:
-                try:
-                    async_result = self.detector.detect_batch_async(
-                        self._pad_batch([im for im, _ in group]),
-                        self.prob_thresh, self.nms_thresh, self.scales,
-                    )
-                    pending.append((async_result, group))
-                except Exception as e:  # propagate setup errors to callers
-                    for _, fut in group:
-                        fut.set_exception(e)
+                packed = pack_pool.submit(
+                    self.detector.pack_inputs,
+                    self._pad_batch([im for im, _ in group]))
+                submitted = submit_pool.submit(
+                    lambda p=packed: self.detector.detect_batch_async(
+                        p.result(),
+                        self.prob_thresh, self.nms_thresh, self.scales))
+                pending.append((submitted, group))
             # keep pipeline depth 2: resolve the oldest batch when a newer
             # one is in flight, or when there is no new work to enqueue
             if pending and (len(pending) >= 2 or not group):
                 self._resolve(pending.pop(0))
+        pack_pool.shutdown(wait=False)
+        submit_pool.shutdown(wait=False)
