@@ -68,6 +68,7 @@ def arguments(argv=None):
                         help="fused-path wire format; yuv420 halves H2D bytes"
                              " (JPEG-native chroma subsampling); jpegdct "
                              "ships entropy-decoded DCT coefficients "
+                             "(jpegdct4: bitmap-sparse, ~2/3 the bytes) "
                              "(~0.5-0.9 B/px) and decodes on the TPU")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard each fused batch over every local chip "
