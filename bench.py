@@ -177,15 +177,24 @@ def main():
         # the upload of batch i even though the core is idle during the
         # network wait (~35 ms/batch32 unhidden on a 1-core host).
         q = collections.deque()
+        packs = collections.deque()
         t0 = time.time()
-        packs = [pack_pool.submit(
-            lambda: detector.pack_inputs(make_inputs()))
-            for _ in range(iters)]
-        for p in packs:
+        for i in range(iters):
+            # pack runs at most depth+1 batches ahead of the fetch loop:
+            # same overlap, O(depth) wire buffers in RAM.
+            packs.append(pack_pool.submit(
+                lambda: detector.pack_inputs(make_inputs())))
+            if len(packs) <= depth and i < iters - 1:
+                continue
+            p = packs.popleft()
             q.append(submit.submit(
                 lambda p=p: detector.detect_batch_async(p.result())))
             if len(q) > depth:
                 detector._fetch(q.popleft().result())
+        while packs:
+            p = packs.popleft()
+            q.append(submit.submit(
+                lambda p=p: detector.detect_batch_async(p.result())))
         last = None
         while q:
             last = detector._fetch(q.popleft().result())[-1]

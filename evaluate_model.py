@@ -229,6 +229,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             flush(bucket)
         while pending:
             settle(pending.popleft())
+    pack_pool.shutdown(wait=True)
     submit_pool.shutdown(wait=True)
     return dets
 

@@ -279,6 +279,7 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
   for (auto& th : threads) th.join();
 }
 
-int tf_version() { return 5; }
+// v6: + tf_dct_pack_sparse / tf_jpeg_dct_pack_sparse (wire v4)
+int tf_version() { return 6; }
 
 }  // extern "C"

@@ -366,9 +366,12 @@ def maxpool_3x3_s2_padded(x: jnp.ndarray, *, th: int = 4,
     non-negative inputs) that writes the (B, H+2, W, C) halo-padded layout
     the fused bottleneck stage consumes — halo rows uninitialized.
 
-    Replaces reduce_window + jnp.pad: the trace charged 12 ms/batch32 to
-    the largest-scale reduce_window at 342 GB/s; this is a streamed VMEM
-    kernel at the same traffic with no separate pad copy.
+    NOT on the production path: measured 27.6 ms vs reduce_window's 12.0
+    at the 2x level (VPU tile-padding on the (2, C) pair split + the
+    Element-spec pipelining issue, docs/PERF.md round 3h), so
+    stem_and_fused_layers12 uses reduce_window. Kept (with its tests and
+    the prepadded fused_stage pathway it feeds) as the measured-negative
+    artifact and for future Blocked-spec pool experiments.
     """
     bb, h2, w2, cc = x.shape
     hh = h2 // 2

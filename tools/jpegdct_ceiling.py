@@ -49,6 +49,9 @@ def main():
                     help="fused-bottleneck kernel flavor (with"
                          " --fused-blocks on).")
     args = ap.parse_args()
+    if args.fused_impl != "element" and args.fused_blocks != "on":
+        ap.error("--fused-impl requires --fused-blocks on (the impl knob "
+                 "only exists inside the fused-blocks path)")
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
 
