@@ -233,3 +233,19 @@ def test_full_model_fused_layers12_blocked_equivalence():
     got = model.apply(variables, res3, train=False, layer2_precomputed=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_fused_bottleneck_blocked_im2col_matches():
+    """im2col 3x3 formulation (one K=9*cmid matmul) == 9-matmul loop."""
+    rng = np.random.default_rng(14)
+    m, v = _bottleneck_vars(jax.random.PRNGKey(5), 256, 64)
+    v = _randomize_bn(v, rng)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 256)).astype(np.float32))
+    fw = fused_block.fold_block_weights(v["params"], v["batch_stats"],
+                                        jnp.float32)
+    a = fused_block.fused_bottleneck_blocked(x, fw, th=4, interpret=True,
+                                             dtype=jnp.float32)
+    b = fused_block.fused_bottleneck_blocked(x, fw, th=4, interpret=True,
+                                             dtype=jnp.float32, im2col=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-5)

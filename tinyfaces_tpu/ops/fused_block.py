@@ -204,7 +204,7 @@ def fused_bottleneck(xp: jnp.ndarray, fw: dict, *, th: int = 4,
 def _block_kernel_blocked(x_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                           w3_ref, b3_ref, *rest, th: int, hh: int, wdt: int,
                           cin: int, cmid: int, cout: int, has_proj: bool,
-                          dtype):
+                          dtype, im2col: bool = False):
     """One (1, TH, W, Cin) Blocked tile + its (2, W, Cin) halo rows ->
     (1, TH, W, Cout) tile. Same math as _block_kernel; the halo travels
     as a second input instead of overlapping Element reads, because
@@ -232,12 +232,23 @@ def _block_kernel_blocked(x_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     t1 = jnp.where((gp >= 0) & (gp < hh), t1, jnp.zeros((), t1.dtype))
 
     t1p = jnp.pad(t1, ((0, 0), (1, 1), (0, 0)))
-    acc = b2_ref[:].astype(f32) * jnp.ones((th * wdt, 1), f32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = t1p[dy:dy + th, dx:dx + wdt].reshape(th * wdt, cmid)
-            acc = acc + jnp.dot(patch, w2_ref[dy, dx],
-                                preferred_element_type=f32)
+    if im2col:
+        # One (TH*W, 9*cmid) @ (9*cmid, cmid) matmul: a K=64 contraction
+        # half-fills the MXU at layer1 (cmid=64); gathering the 9 taps
+        # into one K=576 contraction trades 9 VMEM copies for full lanes.
+        patches = jnp.concatenate(
+            [t1p[dy:dy + th, dx:dx + wdt].reshape(th * wdt, cmid)
+             for dy in range(3) for dx in range(3)], axis=1)
+        w2f = w2_ref[:].reshape(9 * cmid, cmid)
+        acc = (jnp.dot(patches, w2f, preferred_element_type=f32)
+               + b2_ref[:].astype(f32))
+    else:
+        acc = b2_ref[:].astype(f32) * jnp.ones((th * wdt, 1), f32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = t1p[dy:dy + th, dx:dx + wdt].reshape(th * wdt, cmid)
+                acc = acc + jnp.dot(patch, w2_ref[dy, dx],
+                                    preferred_element_type=f32)
     t2 = jnp.maximum(acc, 0.0).astype(dtype)
 
     y = (jnp.dot(t2, w3_ref[:], preferred_element_type=f32)
@@ -255,11 +266,12 @@ def _block_kernel_blocked(x_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("th", "interpret", "dtype"),
+    static_argnames=("th", "interpret", "dtype", "im2col"),
 )
 def fused_bottleneck_blocked(x: jnp.ndarray, fw: dict, *, th: int = 8,
                              interpret: bool = False,
-                             dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+                             dtype: Any = jnp.bfloat16,
+                             im2col: bool = False) -> jnp.ndarray:
     """One stride-1 bottleneck on UNPADDED activations via Blocked specs.
 
     x: (B, H, W, Cin) -> (B, H, W, Cout). The 2 halo rows each tile
@@ -283,7 +295,7 @@ def fused_bottleneck_blocked(x: jnp.ndarray, fw: dict, *, th: int = 8,
 
     kern = functools.partial(
         _block_kernel_blocked, th=th, hh=hh, wdt=wdt, cin=cin, cmid=cmid,
-        cout=cout, has_proj=has_proj, dtype=dtype)
+        cout=cout, has_proj=has_proj, dtype=dtype, im2col=im2col)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, th, wdt, cin), lambda bi, i: (bi, i, 0, 0),
