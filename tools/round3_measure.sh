@@ -26,11 +26,13 @@ echo "=== $(stamp) 4. e2e bench v3 then v4 ==="
 timeout 3600 python bench.py
 BENCH_TRANSFER=jpegdct4 timeout 3600 python bench.py
 
-echo "=== $(stamp) 5. fused-block A/B (blocked, element) ==="
-timeout 3600 python tools/jpegdct_ceiling.py --mode device \
-    --fused-blocks on --fused-impl blocked
-timeout 3600 python tools/jpegdct_ceiling.py --mode device \
-    --fused-blocks on --fused-impl element
+echo "=== $(stamp) 5. standalone kernel A/B (fast compiles; decides which"
+echo "    full-pyramid fused config is worth its 400-900 s cold compile) ==="
+timeout 2400 python tools/fused_block_bench.py --stage layer1
+timeout 2400 python tools/fused_block_bench.py --stage layer2
+echo "=== $(stamp) 5b. full-pyramid fused-blocks A/B: run MANUALLY for the"
+echo "    winning variant only, e.g.:"
+echo "    python tools/jpegdct_ceiling.py --mode device --fused-blocks on --fused-impl blocked ==="
 
 echo "=== $(stamp) 6. train-step warm (bench_train path) ==="
 timeout 3600 python tools/prewarm_cache.py --transfer yuv420 --skip-eval
