@@ -62,7 +62,16 @@ def arguments(argv=None):
     parser.add_argument("--eval-batch", type=int, default=8,
                         help="device batch per bucket (1 = per-image)")
     parser.add_argument("--host-resize", action="store_true",
-                        help="PIL per-scale resize (reference resampling)")
+                        help="PIL per-scale resize (reference resampling, "
+                             "one dispatch per scale — slow; see --resample "
+                             "pil for the fused equivalent)")
+    parser.add_argument("--resample", default="linear",
+                        choices=("linear", "pil"),
+                        help="fused-path level resampling: linear = device "
+                             "scale_and_translate (fast default); pil = "
+                             "PIL-bilinear-matched on the uint8 grid "
+                             "(reference resampling fused in-program; "
+                             "requires --transfer rgb)")
     parser.add_argument("--transfer", default="rgb",
                         choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
                         help="fused-path wire format; yuv420 halves H2D bytes"
@@ -290,7 +299,8 @@ def main():
         mesh = make_mesh(devices)
 
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig(), transfer=args.transfer,
+                               ec=EvalConfig(resample=args.resample),
+                               transfer=args.transfer,
                                mesh=mesh, shard=args.shard)
     run(
         detector, dataset, args.prob_thresh, args.nms_thresh, args.split,

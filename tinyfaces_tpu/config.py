@@ -87,6 +87,18 @@ class EvalConfig:
     # materializes the 2x canvas. Border-exact; interior differs from
     # resize+conv only in fp summation order.
     fold_stem: bool = True
+    # Pyramid-level resampling kernel. "linear": device
+    # scale_and_translate(linear, antialias) on normalized floats (fast
+    # default; a known, bounded deviation from the reference's
+    # resampling). "pil": PIL-bilinear-matched resize on the uint8 pixel
+    # grid (ops/pilresize.py — Pillow's tap windows, fixed-point weight
+    # quantization, per-pass 8-bit rounding; the host oracle is
+    # byte-exact vs live PIL, the on-device f32 version flips ~1e-4 of
+    # bytes by +-1/255), fused in-program — reference resampling without
+    # host_resize's one-dispatch-per-scale cost. Requires transfer="rgb"
+    # (lossy wires defeat the point) and disables fold_stem on the 2x
+    # level.
+    resample: str = "linear"
     # Run layer1 width-packed (2 px into the channel axis) in the fused
     # pyramid (ops/packedconv.py). The isolated packed 3x3 measured 0.70x
     # the unpacked time (C=64 half-fills the MXU lanes), but in the FULL

@@ -197,6 +197,14 @@ class PyramidDetector:
             raise ValueError(f"unknown transfer mode {transfer!r}")
         if shard not in ("batch", "spatial", "auto"):
             raise ValueError(f"unknown shard mode {shard!r}")
+        _ec = ec or EvalConfig()
+        if _ec.resample not in ("linear", "pil"):
+            raise ValueError(f"unknown resample kernel {_ec.resample!r}")
+        if _ec.resample == "pil" and transfer != "rgb":
+            raise ValueError(
+                "resample='pil' reproduces the reference's uint8-domain "
+                "resampling and needs exact pixels on device — use "
+                "transfer='rgb' (lossy wires defeat the parity point)")
         self.shard = shard
         self.model = model
         self.variables = variables
@@ -286,8 +294,15 @@ class PyramidDetector:
                 x0 = yuv420_to_normalized(y, u, v, dtype=self.model.dtype)
             else:
                 b = images_in.shape[0]
-                # normalize commutes with resize
-                x0 = normalize_images(images_in, dtype=self.model.dtype)
+                if self.ec.resample == "pil":
+                    # PIL-matched resampling quantizes each level to the
+                    # uint8 grid in PIXEL space (ops/pilresize.py), which
+                    # does not commute with normalization — keep pixels
+                    # and normalize per level after the resize.
+                    x0 = images_in.astype(jnp.float32)
+                else:
+                    # normalize commutes with resize
+                    x0 = normalize_images(images_in, dtype=self.model.dtype)
             k = self.ec.max_dets_per_scale
 
             def apply_model(xin, *, stem_precomputed: bool):
@@ -343,6 +358,14 @@ class PyramidDetector:
                         method="linear", antialias=True,
                     )
 
+                pil = self.ec.resample == "pil"
+                if pil:
+                    from tinyfaces_tpu.ops.pilresize import resize_pil_bilinear
+
+                    def pil_level(img, tv, wv, hh, ww):
+                        return resize_pil_bilinear(
+                            img, (thp, twp), (tv, wv), (hh, ww))
+
                 if f == 1.0 and (thp, twp) == (h0p, w0p):
                     # scale_and_translate at scale 1, translate 0 is exactly
                     # the identity (the linear kernel hits integer offsets:
@@ -350,9 +373,13 @@ class PyramidDetector:
                     # the batch, since th_v == h0 always at f=1), but it is
                     # implemented as two real weight-matrix contractions per
                     # image. Skip it: bit-exact, saves the second-largest
-                    # resize stage in the fused program.
-                    out = apply_model(x0, stem_precomputed=False)
-                elif (self.ec.fold_stem and f == 2.0
+                    # resize stage in the fused program. (PIL's identity
+                    # resize is also exact: every tap lands weight 1.)
+                    xin = (normalize_images(x0.astype(jnp.uint8),
+                                            dtype=self.model.dtype)
+                           if pil else x0)
+                    out = apply_model(xin, stem_precomputed=False)
+                elif (not pil and self.ec.fold_stem and f == 2.0
                       and (thp, twp) == (2 * h0p, 2 * w0p)):
                     # The 2x level's resize factor is exactly 2.0 for every
                     # image (an integer short side h resizes to floor(2h) =
@@ -363,7 +390,12 @@ class PyramidDetector:
                         x0, variables["params"]["backbone"]["conv1"]["kernel"])
                     out = apply_model(stem, stem_precomputed=True)
                 else:
-                    xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
+                    if pil:
+                        xs = jax.vmap(pil_level)(x0, th_v, tw_v, h0, w0)
+                        xs = normalize_images(xs.astype(jnp.uint8),
+                                              dtype=self.model.dtype)
+                    else:
+                        xs = jax.vmap(resize_one)(x0, th_v, tw_v, h0, w0)
                     out = apply_model(xs, stem_precomputed=False)
 
                 st = int(stride)
