@@ -115,6 +115,10 @@ def main(argv=None):
                         help="smoke mode: build an N-image synthetic tree")
     parser.add_argument("--prob_thresh", type=float, default=0.03)
     parser.add_argument("--nms_thresh", type=float, default=0.3)
+    parser.add_argument("--resample", default="pil",
+                        choices=("pil", "linear"),
+                        help="fused-sweep level resampling; pil (default) "
+                             "= reference-matched PIL bilinear on device")
     args = parser.parse_args(argv)
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
@@ -147,8 +151,12 @@ def main(argv=None):
           f"{args.checkpoint or '(random init — smoke only)'}")
     model, variables = get_model(args.checkpoint or None,
                                  num_templates=templates.shape[0])
+    # resample="pil": the fused sweep runs the reference's PIL-bilinear
+    # resampling in-program (ops/pilresize.py) — the A/B below then
+    # compares two implementations of the SAME kernel, and the fast
+    # sweep is the parity configuration rather than a deviation from it.
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig())
+                               ec=EvalConfig(resample=args.resample))
 
     dataset = WIDERFace(valdata, templates, cfg=cfg, dataset_root=root,
                         split="val")
