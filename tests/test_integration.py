@@ -172,10 +172,11 @@ def test_evaluate_model_run_batched(wider_tree, tmp_path):
     assert len(files) == len(val)
 
 
-def test_evaluate_model_run_jpegdct(wider_tree, tmp_path):
-    """--transfer jpegdct drives the eval sweep from entropy-decoded
-    coefficients (host never decodes pixels) and writes the same per-image
-    result-file tree."""
+@pytest.mark.parametrize("transfer", ["jpegdct", "jpegdct4"])
+def test_evaluate_model_run_jpegdct(wider_tree, tmp_path, transfer):
+    """--transfer jpegdct/jpegdct4 drives the eval sweep from
+    entropy-decoded coefficients (host never decodes pixels) and writes
+    the same per-image result-file tree."""
     import evaluate_model
     from tinyfaces_tpu.data import jpegdct
     from tinyfaces_tpu.evaluation import PyramidDetector
@@ -187,7 +188,7 @@ def test_evaluate_model_run_jpegdct(wider_tree, tmp_path):
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), (128, 128))
     det = PyramidDetector(
         model, {"params": params, "batch_stats": batch_stats}, templates,
-        cfg=DetectorConfig(), transfer="jpegdct",
+        cfg=DetectorConfig(), transfer=transfer,
         ec=EvalConfig(scales=(0,), max_dets_per_scale=50, max_total_dets=50),
     )
     val = WIDERFace(
