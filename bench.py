@@ -65,7 +65,26 @@ def natural_images(n, h, w, seed=0):
     return out
 
 
+def probe_backend(timeout_s: int = 600) -> None:
+    """Fail FAST if the TPU tunnel is down: backend init hangs
+    indefinitely inside the plugin when the remote side is unreachable
+    (observed 2026-08-17, multi-hour outage), which would eat the whole
+    bench budget. Probe init in a killable subprocess first."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"# TPU backend init did not complete in {timeout_s}s — "
+              f"tunnel down? aborting instead of hanging", file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main():
+    probe_backend()
+
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()

@@ -58,6 +58,10 @@ def make_synthetic_train_batch(rng, batch: int, cfg, n_boxes: int = 40) -> dict:
 
 
 def main():
+    from bench import probe_backend
+
+    probe_backend()
+
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
