@@ -308,6 +308,12 @@ def main():
         eval_batch=args.eval_batch, host_resize=args.host_resize,
         workers=args.workers, rank=args.process_id, world=world,
     )
+    if args.coordinator_address:
+        # the first rank to exit kills the coordination service under
+        # every other rank (parallel/distributed.py:barrier_at_exit)
+        from tinyfaces_tpu.parallel.distributed import barrier_at_exit
+
+        barrier_at_exit("eval_sweep_done")
 
 
 if __name__ == "__main__":

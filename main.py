@@ -223,6 +223,14 @@ def main():
     from tinyfaces_tpu.trainer import wait_for_checkpoints
 
     wait_for_checkpoints()
+    # Ranks finish the loop together (lockstep steps), but process 0 then
+    # writes checkpoints: a faster non-zero rank must not exit first —
+    # rank 0 hosts the coordination service, and conversely rank 0
+    # exiting while another rank straggles FATALS it
+    # (parallel/distributed.py:barrier_at_exit).
+    from tinyfaces_tpu.parallel.distributed import barrier_at_exit
+
+    barrier_at_exit("train_done")
 
 
 def debug_visualize(dataset):

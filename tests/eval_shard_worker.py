@@ -52,6 +52,11 @@ def main():
         results_dir=results_dir, eval_batch=2, workers=2,
         rank=int(pid), world=int(nproc),
     )
+    # barrier before exit: the first rank to die takes the coordination
+    # service (hosted by rank 0) with it and FATALS the slower rank
+    from tinyfaces_tpu.parallel.distributed import barrier_at_exit
+
+    barrier_at_exit("eval_sweep_done")
     print(f"EVAL_SHARD_OK pid={pid} n={len(val)}")
     sys.stdout.flush()
     os._exit(0)

@@ -37,6 +37,22 @@ def initialize(
     )
 
 
+def barrier_at_exit(name: str = "exit") -> None:
+    """Cross-process barrier before a rank exits a distributed run.
+
+    The first process to exit takes the coordination service with it
+    (process 0 hosts it): any rank still mid-work then FATALS with
+    "Failed to send RPC to coordination service ... Socket closed"
+    (reproduced in tests/test_parallel.py's 2-process eval under a
+    contended host — the faster rank finished its slice and died while
+    the other was still sweeping). No-op when single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def global_mesh(axis: str = DATA_AXIS):
     """Mesh over every chip in the job (all hosts)."""
     return make_mesh(jax.devices(), axis)
