@@ -385,13 +385,12 @@ inline bool decode_block_pack(BitReader& br, Component& c,
 inline bool decode_block_pack_sparse(
     BitReader& br, Component& c, const HuffTable& dct, const HuffTable& act,
     long cid, int z_keep, long esc_cap, long vcap, int16_t* dc,
-    uint32_t* bitmap, uint32_t* offs, int8_t* vals, int32_t* esc_idx,
+    uint32_t* bitmap, int8_t* vals, int32_t* esc_idx,
     int16_t* esc_val, long* n_esc, long* n_vals, int32_t* stats) {
   int t = huff_decode(br, dct);
   if (br.err) return false;
   c.pred += receive_extend(br, t);
   dc[cid] = static_cast<int16_t>(c.pred);
-  offs[cid] = static_cast<uint32_t>(*n_vals);
   uint32_t bm = 0;
   int k = 1;
   while (k < 64) {
@@ -433,11 +432,10 @@ inline bool decode_block_pack_sparse(
 // decode_block_pack_sparse given the same visit order.
 inline void pack_block_sparse(const int16_t* c, long cid, int z_keep,
                               long esc_cap, long vcap, int16_t* dc,
-                              uint32_t* bitmap, uint32_t* offs, int8_t* vals,
+                              uint32_t* bitmap, int8_t* vals,
                               int32_t* esc_idx, int16_t* esc_val, long* n_esc,
                               long* n_vals, int32_t* stats) {
   dc[cid] = c[0];
-  offs[cid] = static_cast<uint32_t>(*n_vals);
   uint32_t bm = 0;
   for (int k = 1; k <= z_keep; ++k) {
     int16_t v = c[k];
@@ -640,12 +638,11 @@ void tf_dct_pack_dense(const int16_t* coef_zz, int gby, int gbx, int cnh,
 void tf_dct_pack_sparse(const int16_t* coef_zz, int gby, int gbx, int cnh,
                         int cnw, int z_keep, long esc_cap, long vcap,
                         int16_t neutral_dc, int16_t* dc, uint32_t* bitmap,
-                        uint32_t* offs, int8_t* vals, int32_t* esc_idx,
+                        int8_t* vals, int32_t* esc_idx,
                         int16_t* esc_val, int32_t* stats) {
   const long cn = static_cast<long>(cnh) * cnw;
   for (long i = 0; i < cn; ++i) dc[i] = neutral_dc;
   std::memset(bitmap, 0, cn * sizeof(uint32_t));
-  std::memset(offs, 0, cn * sizeof(uint32_t));
   std::memset(vals, 0, vcap);
   for (long i = 0; i < esc_cap; ++i) esc_idx[i] = -1;
   std::memset(esc_val, 0, esc_cap * sizeof(int16_t));
@@ -657,7 +654,7 @@ void tf_dct_pack_sparse(const int16_t* coef_zz, int gby, int gbx, int cnh,
     for (int bx = 0; bx < gbx; ++bx) {
       const int16_t* c = coef_zz + (static_cast<long>(by) * gbx + bx) * 64;
       pack_block_sparse(c, static_cast<long>(by) * cnw + bx, z_keep, esc_cap,
-                        vcap, dc, bitmap, offs, vals, esc_idx, esc_val,
+                        vcap, dc, bitmap, vals, esc_idx, esc_val,
                         &n_esc, &n_vals, stats);
     }
   }
@@ -671,10 +668,10 @@ int tf_jpeg_dct_pack_sparse(
     const uint8_t* data, long len, int cnh8, int cnw8, int z_keep_y,
     int z_keep_c, long esc_cap_y, long esc_cap_c, long vcap_y, long vcap_c,
     float neutral_y, float neutral_cb, float neutral_cr, int16_t* y_dc,
-    uint32_t* y_bm, uint32_t* y_off, int8_t* y_vals, int32_t* y_esc_idx,
-    int16_t* y_esc_val, int16_t* u_dc, uint32_t* u_bm, uint32_t* u_off,
+    uint32_t* y_bm, int8_t* y_vals, int32_t* y_esc_idx,
+    int16_t* y_esc_val, int16_t* u_dc, uint32_t* u_bm,
     int8_t* u_vals, int32_t* u_esc_idx, int16_t* u_esc_val, int16_t* v_dc,
-    uint32_t* v_bm, uint32_t* v_off, int8_t* v_vals, int32_t* v_esc_idx,
+    uint32_t* v_bm, int8_t* v_vals, int32_t* v_esc_idx,
     int16_t* v_esc_val, uint16_t* q_y, uint16_t* q_c, int32_t* hw_out,
     int32_t* stats) {
   Parser ps(data, len);
@@ -718,9 +715,6 @@ int tf_jpeg_dct_pack_sparse(
   std::memset(y_bm, 0, cny * sizeof(uint32_t));
   std::memset(u_bm, 0, cnc * sizeof(uint32_t));
   std::memset(v_bm, 0, cnc * sizeof(uint32_t));
-  std::memset(y_off, 0, cny * sizeof(uint32_t));
-  std::memset(u_off, 0, cnc * sizeof(uint32_t));
-  std::memset(v_off, 0, cnc * sizeof(uint32_t));
   std::memset(y_vals, 0, vcap_y);
   std::memset(u_vals, 0, vcap_c);
   std::memset(v_vals, 0, vcap_c);
@@ -735,7 +729,6 @@ int tf_jpeg_dct_pack_sparse(
 
   int16_t* dcs[3] = {y_dc, u_dc, v_dc};
   uint32_t* bms[3] = {y_bm, u_bm, v_bm};
-  uint32_t* ofs[3] = {y_off, u_off, v_off};
   int8_t* vss[3] = {y_vals, u_vals, v_vals};
   int32_t* eis[3] = {y_esc_idx, u_esc_idx, v_esc_idx};
   int16_t* evs[3] = {y_esc_val, u_esc_val, v_esc_val};
@@ -763,7 +756,7 @@ int tf_jpeg_dct_pack_sparse(
             const long bx = static_cast<long>(mx) * co.hs + hh;
             if (!decode_block_pack_sparse(
                     br, co, ps.hdc[co.td], ps.hac[co.ta], by * cnws[c] + bx,
-                    zks[c], ecaps[c], vcaps[c], dcs[c], bms[c], ofs[c],
+                    zks[c], ecaps[c], vcaps[c], dcs[c], bms[c],
                     vss[c], eis[c], evs[c], &n_esc[c], &n_vals[c], stats))
               return br.err ? br.err : ERR_BAD_HUFFMAN;
           }
@@ -774,6 +767,7 @@ int tf_jpeg_dct_pack_sparse(
   }
   hw_out[0] = ps.h;
   hw_out[1] = ps.w;
+  hw_out[2] = ps.ncomp;  // 3 -> Y stream in MCU order; 1 -> row order
   return 0;
 }
 
@@ -787,7 +781,7 @@ int tf_jpeg_dct_pack_sparse(
 //   neutral_*: canvas fill in YCbCr pixel domain; uncovered canvas
 //   blocks get the flat-block quantized DC round(8*(v-128)/q[0]).
 //   Grayscale: chroma planes get DC 0 (=128 gray) and q_c = q_y.
-//   hw_out: [h, w]. stats: [truncated_coeffs, clamped_escapes].
+//   hw_out: [h, w, ncomp]. stats: [truncated_coeffs, clamped_escapes].
 // Initializes every output region it owns (caller may pass
 // uninitialized memory). Returns 0 or a negative error.
 int tf_jpeg_dct_pack(const uint8_t* data, long len, int cnh8, int cnw8,

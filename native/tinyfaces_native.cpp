@@ -279,7 +279,8 @@ void tf_augment_batch(int batch, const uint8_t** imgs, const int* hs,
   for (auto& th : threads) th.join();
 }
 
-// v6: + tf_dct_pack_sparse / tf_jpeg_dct_pack_sparse (wire v4)
-int tf_version() { return 6; }
+// v7: wire v4 drops per-block stream offsets (device reconstructs
+// them from popcount cumsums); sparse pack signatures changed
+int tf_version() { return 7; }
 
 }  // extern "C"

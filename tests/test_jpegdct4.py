@@ -86,12 +86,11 @@ def test_v4_stream_overflow_truncates_and_counts():
     w4 = jpegdct.pack_dct_batch([d], 64, 64, wire_version=4)
     assert jpegdct.truncation_stats()["truncated_coeffs"] > before
     # every shipped bitmap bit has a value inside the stream budget
+    # (offsets are device-derived cumsums of these popcounts)
     for p in ("y", "u", "v"):
         pc = np.bitwise_count(w4[f"{p}_bm"][0].astype(np.uint64)).astype(
             np.int64)
         assert int(pc.sum()) <= w4[f"{p}_vals"].shape[1]
-        ends = w4[f"{p}_off"][0].astype(np.int64) + pc
-        assert int(ends.max()) <= w4[f"{p}_vals"].shape[1]
     # reconstruction stays finite / in range
     r = _recon(w4, 64, 64, 4)
     assert np.isfinite(r).all()

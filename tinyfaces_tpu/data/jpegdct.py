@@ -91,14 +91,14 @@ def _bind(lib) -> None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_long,
         ctypes.c_int16,
-    ] + [ctypes.c_void_p] * 7
+    ] + [ctypes.c_void_p] * 6
     lib.tf_dct_pack_sparse.restype = None
     lib.tf_jpeg_dct_pack_sparse.argtypes = (
         [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
          ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_long,
          ctypes.c_long, ctypes.c_long,
          ctypes.c_float, ctypes.c_float, ctypes.c_float]
-        + [ctypes.c_void_p] * 22
+        + [ctypes.c_void_p] * 19
     )
     lib.tf_jpeg_dct_pack_sparse.restype = ctypes.c_int
     _bound = True
@@ -415,13 +415,14 @@ def _pack_fused_native(lib, data: bytes, wire: dict, i: int, h8: int,
 
 
 def _pack_plane_sparse(coef_zz, nbx_img, w_grid, z_keep, vcap, out_dc,
-                       out_bm, out_off, out_vals, out_esc_idx, out_esc_val):
+                       out_bm, out_vals, out_esc_idx, out_esc_val):
     """NumPy oracle of tf_dct_pack_sparse: bitmap-sparse pack of one
-    plane, canvas-order value stream.
+    plane, canvas-order value stream (stream offsets are NOT on the
+    wire — the device reconstructs them from popcount cumsums).
 
     coef_zz: (nb_img, 64) int16 zigzag. Image blocks land at canvas
     block id by*w_grid + bx (row-major image order IS canvas order);
-    out_bm/out_off are (canvas_blocks,) uint32, out_vals (vcap,) int8."""
+    out_bm is (canvas_blocks,) uint32, out_vals (vcap,) int8."""
     global _truncated_coeffs, _clamped_escapes
     nb_img = coef_zz.shape[0]
     img_cids = (np.arange(nb_img) // nbx_img) * w_grid + (
@@ -435,12 +436,6 @@ def _pack_plane_sparse(coef_zz, nbx_img, w_grid, z_keep, vcap, out_dc,
     keep = pos < vcap
     dropped_overflow = int(rows.shape[0] - keep.sum())
 
-    counts = np.bincount(rows[keep], minlength=nb_img)
-    offs = np.cumsum(counts) - counts
-    # Blocks that decode after the stream fills still record where the
-    # stream stood (their kept-count is 0) — matches the C++ which
-    # stamps offs at block start.
-    out_off[img_cids] = offs.astype(np.uint32)
     bm = np.zeros(nb_img, np.uint32)
     np.add.at(bm, rows[keep], (np.uint32(1) << ks[keep].astype(np.uint32)))
     out_bm[img_cids] = bm
@@ -465,7 +460,7 @@ def _pack_plane_sparse(coef_zz, nbx_img, w_grid, z_keep, vcap, out_dc,
 
 
 def _pack_plane_sparse_native(lib, coef_zz, nbx_img, grid_h, grid_w, z_keep,
-                              neutral_dc, out_dc, out_bm, out_off, out_vals,
+                              neutral_dc, out_dc, out_bm, out_vals,
                               out_esc_idx, out_esc_val) -> None:
     """C++ fast path (tf_dct_pack_sparse), oracle-pinned by tests."""
     global _truncated_coeffs, _clamped_escapes
@@ -478,7 +473,7 @@ def _pack_plane_sparse_native(lib, coef_zz, nbx_img, grid_h, grid_w, z_keep,
         z_keep, out_esc_idx.shape[0], out_vals.shape[0],
         ctypes.c_int16(int(neutral_dc)),
         out_dc.ctypes.data_as(p), out_bm.ctypes.data_as(p),
-        out_off.ctypes.data_as(p), out_vals.ctypes.data_as(p),
+        out_vals.ctypes.data_as(p),
         out_esc_idx.ctypes.data_as(p), out_esc_val.ctypes.data_as(p),
         stats.ctypes.data_as(p),
     )
@@ -491,13 +486,14 @@ def _pack_plane_sparse_native(lib, coef_zz, nbx_img, grid_h, grid_w, z_keep,
 def _pack_fused_native_v4(lib, data: bytes, wire: dict, i: int, h8: int,
                           w8: int) -> Optional[tuple]:
     """Fused C++ entropy-decode + bitmap-sparse pack (wire v4). Returns
-    (h, w) on success, None if the stream needs the transcode + two-pass
-    fallback. Value-stream ordering follows MCU decode order — offsets
-    ship on the wire, so any order is valid."""
+    (h, w, stream_order) on success, None if the stream needs the
+    transcode + two-pass fallback. Color scans emit the Y value stream
+    in MCU order (stream_order=1); grayscale in row order (0) — the
+    device reconstructs offsets for either from popcount cumsums."""
     global _truncated_coeffs, _clamped_escapes
     buf = np.frombuffer(data, np.uint8)
     stats = np.zeros(2, np.int32)
-    hw = np.zeros(2, np.int32)
+    hw = np.zeros(3, np.int32)
     yn, cbn, crn = _neutral_ycc()
     p = ctypes.c_void_p
     rc = lib.tf_jpeg_dct_pack_sparse(
@@ -506,17 +502,14 @@ def _pack_fused_native_v4(lib, data: bytes, wire: dict, i: int, h8: int,
         wire["y_vals"].shape[1], wire["u_vals"].shape[1],
         float(yn), float(cbn), float(crn),
         wire["y_dc"][i].ctypes.data_as(p), wire["y_bm"][i].ctypes.data_as(p),
-        wire["y_off"][i].ctypes.data_as(p),
         wire["y_vals"][i].ctypes.data_as(p),
         wire["y_esc_idx"][i].ctypes.data_as(p),
         wire["y_esc_val"][i].ctypes.data_as(p),
         wire["u_dc"][i].ctypes.data_as(p), wire["u_bm"][i].ctypes.data_as(p),
-        wire["u_off"][i].ctypes.data_as(p),
         wire["u_vals"][i].ctypes.data_as(p),
         wire["u_esc_idx"][i].ctypes.data_as(p),
         wire["u_esc_val"][i].ctypes.data_as(p),
         wire["v_dc"][i].ctypes.data_as(p), wire["v_bm"][i].ctypes.data_as(p),
-        wire["v_off"][i].ctypes.data_as(p),
         wire["v_vals"][i].ctypes.data_as(p),
         wire["v_esc_idx"][i].ctypes.data_as(p),
         wire["v_esc_val"][i].ctypes.data_as(p),
@@ -529,12 +522,14 @@ def _pack_fused_native_v4(lib, data: bytes, wire: dict, i: int, h8: int,
         with _lock:
             _truncated_coeffs += int(stats[0])
             _clamped_escapes += int(stats[1])
-    return int(hw[0]), int(hw[1])
+    return int(hw[0]), int(hw[1]), 1 if int(hw[2]) == 3 else 0
 
 
 def wire_layout_v4(h0p: int, w0p: int) -> dict:
     """Wire-v4 (bitmap-sparse) field layout; same contract as
-    wire_layout. ~0.43 B/px at the default budgets vs v3's 0.68."""
+    wire_layout. ~0.34 B/px at the default budgets vs v3's 0.68 (stream
+    offsets are reconstructed on device from popcount cumsums, so only
+    dc + bitmap + values + escapes ride the wire)."""
     assert h0p % 16 == 0 and w0p % 16 == 0, (h0p, w0p)
     nb = (h0p // 8) * (w0p // 8)
     nbc = (h0p // 16) * (w0p // 16)
@@ -553,13 +548,12 @@ def wire_layout_v4(h0p: int, w0p: int) -> dict:
         layout[name] = (off, n, np.dtype(dtype))
         off += n * item
 
-    add("h0w0", 2, np.int32)
+    # h0w0 = [h, w, y_stream_order, 0]: order 1 = 4:2:0 MCU order
+    # (fused color decode), 0 = canvas row-major (two-pass / grayscale).
+    add("h0w0", 4, np.int32)
     add("y_bm", nb, np.uint32)
     add("u_bm", nbc, np.uint32)
     add("v_bm", nbc, np.uint32)
-    add("y_off", nb, np.uint32)
-    add("u_off", nbc, np.uint32)
-    add("v_off", nbc, np.uint32)
     add("y_esc_idx", ey, np.int32)
     add("u_esc_idx", ec, np.int32)
     add("v_esc_idx", ec, np.int32)
@@ -755,7 +749,7 @@ def _pack_dct_batch_v4(dcts: Sequence, h0p: int, w0p: int,
         if lib is not None:
             _pack_plane_sparse_native(
                 lib, coef, nbx_img, grid_h, grid_w, z_keep, neutral_dc,
-                wire[f"{p}_dc"][i], wire[f"{p}_bm"][i], wire[f"{p}_off"][i],
+                wire[f"{p}_dc"][i], wire[f"{p}_bm"][i],
                 wire[f"{p}_vals"][i],
                 wire[f"{p}_esc_idx"][i], wire[f"{p}_esc_val"][i])
         else:
@@ -763,23 +757,24 @@ def _pack_dct_batch_v4(dcts: Sequence, h0p: int, w0p: int,
             _pack_plane_sparse(coef, nbx_img, grid_w, z_keep,
                                wire[f"{p}_vals"].shape[1],
                                wire[f"{p}_dc"][i], wire[f"{p}_bm"][i],
-                               wire[f"{p}_off"][i], wire[f"{p}_vals"][i],
+                               wire[f"{p}_vals"][i],
                                wire[f"{p}_esc_idx"][i],
                                wire[f"{p}_esc_val"][i])
 
     def pack_image(i: int) -> None:
         d = dcts[i]
         if lib is not None and isinstance(d, (bytes, bytearray, memoryview)):
-            hw = _pack_fused_native_v4(lib, bytes(d), wire, i, h8, w8)
-            if hw is not None:
-                wire["h0w0"][i] = hw
+            hwo = _pack_fused_native_v4(lib, bytes(d), wire, i, h8, w8)
+            if hwo is not None:
+                wire["h0w0"][i] = (*hwo, 0)
                 return
         if not isinstance(d, DCTImage):
             d = as_dct_image(d)
         wire["_wire"][i, :data_end].fill(0)
         for p in ("y", "u", "v"):
             wire[f"{p}_esc_idx"][i].fill(-1)
-        wire["h0w0"][i] = (d.h, d.w)
+        # two-pass path packs in canvas row-major order (stream_order 0)
+        wire["h0w0"][i] = (d.h, d.w, 0, 0)
         wire["q_y"][i] = d.qy
         wire["q_c"][i] = d.qc if d.qc is not None else d.qy
 

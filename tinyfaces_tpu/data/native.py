@@ -24,7 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -92,10 +92,37 @@ def reconstruct_plane_dense(
     return jnp.clip(plane + 128.0, 0.0, 255.0)
 
 
+def _stream_offsets(pc: jnp.ndarray, nbh: int, nbw: int,
+                    order) -> jnp.ndarray:
+    """Per-block offsets into the packed value stream from per-block
+    popcounts — the offsets never ride the wire. order 0: canvas
+    row-major (two-pass pack / grayscale decode). order 1: 4:2:0 MCU
+    order — block (by, bx) decodes at MCU-raster position with in-MCU
+    order (0,0),(0,1),(1,0),(1,1); canvas blocks outside the image's MCU
+    grid have pc == 0, so cumsumming over the STATIC canvas MCU raster
+    equals the dynamic image raster. order may be a traced scalar."""
+    row = jnp.cumsum(pc) - pc
+    if order is None:
+        return row
+    mh, mw = nbh // 2, nbw // 2
+    pcg = pc.reshape(mh, 2, mw, 2)
+    mcu_tot = pcg.sum(axis=(1, 3))
+    flat = mcu_tot.reshape(-1)
+    mcu_pre = (jnp.cumsum(flat) - flat).reshape(mh, mw)
+    w00 = jnp.zeros_like(mcu_tot)
+    w01 = pcg[:, 0, :, 0]
+    w10 = w01 + pcg[:, 0, :, 1]
+    w11 = w10 + pcg[:, 1, :, 0]
+    within = jnp.stack(
+        [jnp.stack([w00, w01], axis=0), jnp.stack([w10, w11], axis=0)],
+        axis=0)                                   # (dy, dx, mh, mw)
+    mcu = (mcu_pre[None, None] + within).transpose(2, 0, 3, 1).reshape(-1)
+    return jnp.where(order > 0, mcu, row)
+
+
 def reconstruct_plane_sparse(
     dc: jnp.ndarray,       # (NB,) int16 quantized DC
     bitmap: jnp.ndarray,   # (NB,) uint32 nonzero bitmap (bit k-1 = zz pos k)
-    offs: jnp.ndarray,     # (NB,) uint32 offset into the value stream
     vals: jnp.ndarray,     # (V,) int8 packed nonzero values (clamped)
     esc_idx: jnp.ndarray,  # (E,) int32 flat index into NB*Z, -1 = unused
     esc_val: jnp.ndarray,  # (E,) int16 true value for escaped entries
@@ -103,6 +130,7 @@ def reconstruct_plane_sparse(
     nbh: int,
     nbw: int,
     z: int,
+    order=None,            # traced scalar stream order (None = row-major)
 ) -> jnp.ndarray:
     """Bitmap-sparse (wire v4) coefficients -> (nbh*8, nbw*8) fp32 plane.
 
@@ -117,7 +145,9 @@ def reconstruct_plane_sparse(
     present = (bm >> zz) & jnp.uint32(1)                   # (NB, Z)
     rank = jax.lax.population_count(
         bm & ((jnp.uint32(1) << zz) - jnp.uint32(1)))      # (NB, Z)
-    idx = (offs[:, None] + rank).astype(jnp.int32)
+    pc = jax.lax.population_count(bitmap).astype(jnp.int32)
+    offs = _stream_offsets(pc, nbh, nbw, order)
+    idx = offs[:, None].astype(jnp.int32) + rank.astype(jnp.int32)
     idx = jnp.minimum(idx, jnp.int32(vals.shape[0] - 1))
     acf = jnp.where(present != 0, vals[idx].astype(jnp.float32), 0.0)
 
@@ -219,15 +249,22 @@ def dct4_batch_to_normalized(wire: dict, h0p: int, w0p: int,
 
     from tinyfaces_tpu.data.jpegdct import Z_KEEP_C, Z_KEEP_Y
 
-    def rec(p, nh, nw, z):
-        return jax.vmap(
-            lambda d, bm, of, vs, ei, ev, q: reconstruct_plane_sparse(
-                d, bm, of, vs, ei, ev, q, nbh=nh, nbw=nw, z=z)
-        )(wire[f"{p}_dc"], wire[f"{p}_bm"], wire[f"{p}_off"],
-          wire[f"{p}_vals"], wire[f"{p}_esc_idx"], wire[f"{p}_esc_val"],
-          wire["q_y" if p == "y" else "q_c"])
+    def rec(p, nh, nw, z, order=None):
+        args = [wire[f"{p}_dc"], wire[f"{p}_bm"], wire[f"{p}_vals"],
+                wire[f"{p}_esc_idx"], wire[f"{p}_esc_val"],
+                wire["q_y" if p == "y" else "q_c"]]
+        if order is None:
+            fn = lambda d, bm, vs, ei, ev, q: reconstruct_plane_sparse(
+                d, bm, vs, ei, ev, q, nbh=nh, nbw=nw, z=z)
+        else:
+            fn = lambda d, bm, vs, ei, ev, q, o: reconstruct_plane_sparse(
+                d, bm, vs, ei, ev, q, nbh=nh, nbw=nw, z=z, order=o)
+            args.append(order)
+        return jax.vmap(fn)(*args)
 
-    y = rec("y", nbh, nbw, Z_KEEP_Y)
+    # Y's value-stream order is per image (MCU for fused color decode,
+    # row for two-pass/grayscale); chroma is always row order.
+    y = rec("y", nbh, nbw, Z_KEEP_Y, order=wire["h0w0"][:, 2])
     cb = rec("u", nbch, nbcw, Z_KEEP_C)
     cr = rec("v", nbch, nbcw, Z_KEEP_C)
     return ycc_planes_to_normalized(y, cb, cr, dtype=dtype)
