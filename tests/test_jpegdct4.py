@@ -166,3 +166,17 @@ def test_v4_wire_layout_budget():
         assert e0 <= s1
     assert spans[-1][1] <= total
     assert total / (h0p * w0p) < 0.5
+
+
+def test_v4_color_padding_mcu_order_offsets():
+    """Color image smaller than the canvas: the fused decoder's Y stream
+    is MCU-ordered over the IMAGE grid while the device cumsums over the
+    STATIC canvas MCU raster — equal because uncovered canvas MCUs have
+    popcount 0. Must stay bit-identical to v3."""
+    h, w = 80, 112  # 5x7 MCUs inside a 128x128 (8x8-MCU) canvas
+    data = encode(natural_image(h, w, seed=21), quality=90)
+    w4 = jpegdct.pack_dct_batch([data], 128, 128, wire_version=4)
+    assert int(w4["h0w0"][0, 2]) == 1  # fused color path: MCU order
+    w3 = jpegdct.pack_dct_batch([data], 128, 128)
+    np.testing.assert_array_equal(
+        _recon(w3, 128, 128, 3), _recon(w4, 128, 128, 4))

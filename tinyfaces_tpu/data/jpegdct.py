@@ -298,7 +298,9 @@ ESC_PER_BLOCK = 1 / 16
 # counts in the first 28 zigzag slots measured ~2 on smooth natural
 # photos and ~22 on per-pixel-noise worst cases; real photos sit around
 # 6-14). Overflow drops the highest-zigzag values (spectral low-pass,
-# counted in truncation_stats). 0.43 B/px vs v3's 0.68 at these budgets.
+# counted in truncation_stats). 0.376 B/px vs v3's 0.68 at these
+# budgets (no per-block offsets on the wire: the device rebuilds
+# stream offsets from popcount cumsums, ops/jpeg.py:_stream_offsets).
 # Offsets ship on the wire so the device never reconstructs stream
 # order: expansion is popcount-rank + ONE batched gather (ops/jpeg.py) —
 # no scatter (the v1 sparse wire's scatter measured 423 ms/batch32).
