@@ -114,14 +114,27 @@ def main():
     # the default so a congested-link window still finishes promptly.
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     h, w = 768, 1024
-    images = natural_images(batch, h, w)
+    # Input-statistics knobs (tools/wire_stats.py has the full B/px +
+    # truncation sweep): BENCH_CONTENT=texture is the worst case — per-pixel
+    # full-spectrum noise maximizes nonzero AC coefficients, i.e. host
+    # entropy-decode work (wire bytes are fixed-capacity, so device time and
+    # H2D are content-independent).
+    quality = int(os.environ.get("BENCH_QUALITY", "90"))
+    content = os.environ.get("BENCH_CONTENT", "natural")
+    if content == "natural":
+        images = natural_images(batch, h, w)
+    else:
+        from tools.wire_stats import content_images
+
+        images = content_images(content, batch, h, w)
     if transfer.startswith("jpegdct"):
         from tinyfaces_tpu.data import jpegdct
 
         jpegs = []
         for im in images:
             buf = io.BytesIO()
-            Image.fromarray(im).save(buf, "JPEG", quality=90, subsampling=2)
+            Image.fromarray(im).save(buf, "JPEG", quality=quality,
+                                     subsampling=2)
             jpegs.append(buf.getvalue())
 
         rot = [0]

@@ -84,7 +84,12 @@ def main():
     tc = TrainConfig(batch_size=batch)
     templates = load_templates()
 
-    model = TinyFacesDetector(dtype=jnp.float32)
+    # BENCH_DTYPE=bf16 A/Bs mixed-precision training (bf16 activations,
+    # fp32 params/optimizer — flax's dtype/param_dtype split). Measured
+    # round 4: see docs/PERF.md precision section.
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
+             else jnp.float32)
+    model = TinyFacesDetector(dtype=dtype)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0))
     tx = make_optimizer(tc, steps_per_epoch=1000)
     state = create_train_state(model, params, batch_stats, tx)

@@ -99,28 +99,8 @@ class EvalConfig:
     # (lossy wires defeat the point) and disables fold_stem on the 2x
     # level.
     resample: str = "linear"
-    # Run layer1 width-packed (2 px into the channel axis) in the fused
-    # pyramid (ops/packedconv.py). The isolated packed 3x3 measured 0.70x
-    # the unpacked time (C=64 half-fills the MXU lanes), but in the FULL
-    # fused program the packed path measured 5% SLOWER (241.5 vs 229.5
-    # ms/batch16) — the pack/unpack relayouts and doubled weight footprint
-    # eat the gain (docs/PERF.md round 3, negative result). Kept available
-    # for future stacking with a packed layer2 entry.
-    packed_layer1: bool = False
-    # Run every stride-1 layer1/layer2 bottleneck as ONE Pallas kernel
-    # (ops/fused_block.py): BN folded into weights, the block's c256/c512
-    # intermediates never touch HBM. The per-op trace showed these stages
-    # HBM-bound at 37-98 TFLOP/s (docs/PERF.md round 3); fusing removes
-    # ~10 GB of the ~16 GB per-block traffic. Inference only (BN running
-    # stats); mutually exclusive with packed_layer1. Default OFF: the v1
-    # integration measured SLOWER end-to-end (514 vs 417 ms/batch32 —
-    # layout seams, docs/PERF.md round 3h) and the v2 seam fixes are not
-    # yet measured on hardware; the flag flips on once a measured win
-    # exists.
-    fused_blocks: bool = False
-    # Kernel flavor for fused_blocks: "element" = overlapping pl.Element
-    # reads on halo-padded activations (measured: per-tile DMA serializes
-    # with compute — no Mosaic double-buffering); "blocked" = standard
-    # Blocked tiles + a precomputed 2-row halo side tensor (auto
-    # double-buffered, at 2/TH extra input reads).
-    fused_block_impl: str = "element"
+    # Hand-written backbone conv kernels were tried and EXCISED after
+    # losing their on-chip A/Bs (docs/PERF.md rounds 3-4): width-packed
+    # layer1 5% slower e2e (relayout copies + doubled weights); Pallas
+    # fused layer1/2 bottlenecks 606.9 (blocked) / 514 (element) vs XLA's
+    # 424.8 ms/batch32. XLA's own conv fusion is the maintained path.

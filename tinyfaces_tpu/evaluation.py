@@ -215,14 +215,6 @@ class PyramidDetector:
         self.mesh = mesh
         self.transfer = transfer
         self._mask_cache: dict[float, np.ndarray] = {}
-        # Pallas fused bottlenecks: TPU-only (Mosaic kernel; the CPU test
-        # backend takes the plain module path) and unsharded only (a
-        # pallas_call is opaque to GSPMD — under a mesh it would force
-        # gathers instead of partitioning).
-        self._use_fused_blocks = bool(
-            self.ec.fused_blocks and not self.ec.packed_layer1
-            and mesh is None
-            and jax.devices()[0].platform.lower() not in ("cpu",))
 
         stride = float(self.cfg.rf.stride[0])
         offset = float(self.cfg.rf.offset[0])
@@ -306,35 +298,14 @@ class PyramidDetector:
             k = self.ec.max_dets_per_scale
 
             def apply_model(xin, *, stem_precomputed: bool):
-                """Backbone forward; ec.fused_blocks routes stride-1
-                layer1/layer2 bottlenecks through the Pallas fused-block
-                kernel (ops/fused_block.py, HBM-traffic-bound stages);
-                ec.packed_layer1 routes the 64-channel stage through the
-                width-packed form (ops/packedconv.py)."""
-                if self._use_fused_blocks:
-                    from tinyfaces_tpu.ops import fused_block
+                """Backbone forward through the plain XLA conv path.
 
-                    res3 = fused_block.stem_and_fused_layers12(
-                        variables, xin,
-                        stage_sizes=tuple(self.model.stage_sizes),
-                        dtype=self.model.dtype,
-                        stem_precomputed=stem_precomputed,
-                        impl=self.ec.fused_block_impl)
-                    return model.apply(variables, res3, train=False,
-                                       layer2_precomputed=True)
-                if not self.ec.packed_layer1:
-                    return model.apply(variables, xin, train=False,
-                                       stem_precomputed=stem_precomputed)
-                from tinyfaces_tpu.ops import packedconv
-
-                stem = (xin if stem_precomputed
-                        else packedconv.conv1_stem(variables, xin,
-                                                   self.model.dtype))
-                l1 = packedconv.stem_tail_packed_layer1(
-                    variables, stem, n_blocks=self.model.stage_sizes[0],
-                    dtype=self.model.dtype)
-                return model.apply(variables, l1, train=False,
-                                   layer1_precomputed=True)
+                Hand-written alternatives were measured and excised
+                (docs/PERF.md round 4): Pallas fused layer1/2 bottlenecks
+                606.9 vs XLA's 424.8 ms/batch32 device time; width-packed
+                layer1 5% slower e2e. XLA's own conv fusion wins here."""
+                return model.apply(variables, xin, train=False,
+                                   stem_precomputed=stem_precomputed)
 
             all_b, all_s, all_v = [], [], []
             for si, s in enumerate(scales):
@@ -426,11 +397,18 @@ class PyramidDetector:
             # Note: a pre-NMS top-K candidate cut was measured (~3% e2e) but
             # rejected — it drops isolated low-score boxes the reference
             # would keep (it thresholds but never caps candidates).
-            return jax.vmap(
+            out_b, out_s, out_v = jax.vmap(
                 lambda bb, ss, vv: batched_nms_padded(
                     bb, ss, nms_thresh, vv, self.ec.max_total_dets
                 )
             )(boxes, scores, valid)
+            # ONE packed output [x1,y1,x2,y2,score,valid] so the host pays a
+            # single D2H per batch: three separate fetches each cost the
+            # tunnel's ~33 ms per-transfer latency — measured as the bulk of
+            # the e2e-vs-upload-ceiling gap (docs/PERF.md round 4d).
+            return jnp.concatenate(
+                [out_b.astype(jnp.float32), out_s[..., None].astype(jnp.float32),
+                 out_v[..., None].astype(jnp.float32)], axis=-1)
 
         self._fused_pyramid = jax.jit(
             fused_pyramid,
@@ -610,13 +588,11 @@ class PyramidDetector:
 
     @staticmethod
     def _fetch(async_result) -> list[np.ndarray]:
-        out_boxes, out_scores, out_valid = (np.asarray(a) for a in async_result)
+        packed = np.asarray(async_result)  # one D2H: (B, K, 6)
         results = []
-        for i in range(out_boxes.shape[0]):
-            n = int(out_valid[i].sum())
-            results.append(
-                np.concatenate([out_boxes[i, :n], out_scores[i, :n, None]], axis=1)
-            )
+        for i in range(packed.shape[0]):
+            n = int(packed[i, :, 5].sum())
+            results.append(packed[i, :n, :5].copy())
         return results
 
     def _detect_host_resize(

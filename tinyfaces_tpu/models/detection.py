@@ -96,15 +96,11 @@ class TinyFacesDetector(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 stem_precomputed: bool = False,
-                 layer1_precomputed: bool = False,
-                 layer2_precomputed: bool = False) -> jnp.ndarray:
+                 stem_precomputed: bool = False) -> jnp.ndarray:
         res3, res4 = ResNetBackbone(
             stage_sizes=self.stage_sizes, dtype=self.dtype, remat=self.remat,
             name="backbone",
-        )(x, train, stem_precomputed=stem_precomputed,
-          layer1_precomputed=layer1_precomputed,
-          layer2_precomputed=layer2_precomputed)
+        )(x, train, stem_precomputed=stem_precomputed)
 
         head = lambda name: nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

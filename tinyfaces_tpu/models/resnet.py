@@ -104,9 +104,7 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 stem_precomputed: bool = False,
-                 layer1_precomputed: bool = False,
-                 layer2_precomputed: bool = False):
+                 stem_precomputed: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(
             nn.BatchNorm,
@@ -118,26 +116,15 @@ class ResNetBackbone(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        if layer2_precomputed:
-            # x is already res3 (layer2 output) — the fused pyramid's
-            # Pallas bottleneck path (ops/fused_block.py) computed
-            # stem+layer1+layer2 with BN folded; only layer3 + heads run
-            # through the module graph.
-            layer1_precomputed = True
-        if not layer1_precomputed:
-            if not stem_precomputed:
-                x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                         name="conv1")(x)
-            # else: x is already the conv1 output — the fused pyramid's
-            # folded-2x stem (ops/stemfold.py) computes it at 1x resolution,
-            # composing the exact-2x bilinear upsample with conv1 into one
-            # 5x5 stride-1 conv.
-            x = nn.relu(norm(name="bn1")(x))
-            x = max_pool_3x3_s2(x)
-        # layer1_precomputed: x is already layer1's output — the fused
-        # pyramid's width-packed layer1 (ops/packedconv.py) runs the
-        # 64-channel stage with 2 pixels packed into the channel axis
-        # (the MXU half-fills its 128 lanes at C=64; docs/PERF.md round 3).
+        if not stem_precomputed:
+            x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                     name="conv1")(x)
+        # else: x is already the conv1 output — the fused pyramid's
+        # folded-2x stem (ops/stemfold.py) computes it at 1x resolution,
+        # composing the exact-2x bilinear upsample with conv1 into one
+        # 5x5 stride-1 conv.
+        x = nn.relu(norm(name="bn1")(x))
+        x = max_pool_3x3_s2(x)
 
         block_cls = Bottleneck
         if self.remat:
@@ -148,11 +135,6 @@ class ResNetBackbone(nn.Module):
         for stage_idx, (n_blocks, width) in enumerate(
             zip(self.stage_sizes, (64, 128, 256)), start=1
         ):
-            if stage_idx == 1 and layer1_precomputed:
-                continue
-            if stage_idx == 2 and layer2_precomputed:
-                feats["layer2"] = x
-                continue
             for block_idx in range(n_blocks):
                 stride = 2 if (stage_idx > 1 and block_idx == 0) else 1
                 x = block_cls(

@@ -10,7 +10,8 @@ vs host/pipeline overheads).
 Methodology (required on this backend, docs/PERF.md): one DISTINCT
 device-resident input per dispatch (the remote layer memoizes identical
 (executable, input) executions), and completion is observed by fetching
-a small output (block_until_ready does not block).
+the packed detections output — one D2H per batch, exactly what
+production _fetch pays (block_until_ready does not block).
 
 Usage: python tools/jpegdct_ceiling.py [--batch 32] [--iters 12]
 """
@@ -39,19 +40,10 @@ def main():
     ap.add_argument("--transfer", choices=["jpegdct", "jpegdct4"],
                     default="jpegdct",
                     help="wire format: v3 zigzag-dense or v4 bitmap-sparse.")
-    ap.add_argument("--fused-blocks", choices=["default", "on", "off"],
-                    default="default",
-                    help="override EvalConfig.fused_blocks for an A/B of"
-                         " the Pallas bottleneck path (ops/fused_block.py)"
-                         " against the XLA conv path.")
-    ap.add_argument("--fused-impl", choices=["element", "blocked"],
-                    default="element",
-                    help="fused-bottleneck kernel flavor (with"
-                         " --fused-blocks on).")
+    ap.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16",
+                    help="model compute dtype for the precision A/B "
+                         "(VERDICT r3 #4: settle bf16 vs fp32 once).")
     args = ap.parse_args()
-    if args.fused_impl != "element" and args.fused_blocks != "on":
-        ap.error("--fused-impl requires --fused-blocks on (the impl knob "
-                 "only exists inside the fused-blocks path)")
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
 
@@ -67,15 +59,10 @@ def main():
     from tinyfaces_tpu.data import load_templates
 
     templates = load_templates()
-    model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
-    ec = EvalConfig()
-    if args.fused_blocks != "default":
-        import dataclasses
-
-        ec = dataclasses.replace(ec, fused_blocks=args.fused_blocks == "on",
-                                 fused_block_impl=args.fused_impl)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model, variables = get_model(num_templates=25, dtype=dtype)
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
-                          ec=ec, transfer=args.transfer)
+                          ec=EvalConfig(), transfer=args.transfer)
 
     h, w = 768, 1024
     B, iters = args.batch, args.iters
@@ -112,7 +99,7 @@ def main():
 
     # warmup / compile (cache-hit if bench.py ran at this batch size)
     t0 = time.time()
-    np.asarray(dispatch(jnp.asarray(host_wires[0]))[2])
+    np.asarray(dispatch(jnp.asarray(host_wires[0])))
     print(f"warmup {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
@@ -121,7 +108,7 @@ def main():
         # completion by fetching the small valid-mask output.
         outs = [dispatch(wv) for wv in wires]
         for o in outs:
-            np.asarray(o[2])
+            np.asarray(o)
     else:
         # bench.py-shaped loop minus all host decode/pack: upload the
         # pre-packed wire, dispatch, fetch, depth-3 in flight.
@@ -131,9 +118,9 @@ def main():
         for wv in host_wires:
             q.append(dispatch(jnp.asarray(wv)))
             if len(q) > 3:
-                np.asarray(q.popleft()[2])
+                np.asarray(q.popleft())
         while q:
-            np.asarray(q.popleft()[2])
+            np.asarray(q.popleft())
     dt = time.time() - t0
     per_batch = dt / iters
     label = ("device time" if args.mode == "device"

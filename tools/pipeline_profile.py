@@ -77,7 +77,7 @@ def main():
     for _ in range(5):
         det._fetch(r)
     fetch_ms = (time.time() - t0) / 5 * 1e3
-    out_bytes = sum(np.asarray(a).nbytes for a in r)
+    out_bytes = np.asarray(r).nbytes
     print(f"fetch: {fetch_ms:.1f} ms/batch ({out_bytes/2**10:.0f} KiB)", flush=True)
 
     # 5) end-to-end serial (detect_batch)
