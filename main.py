@@ -173,42 +173,20 @@ def main():
 
     from tinyfaces_tpu.utils.profiling import trace
 
-    # Failure handling (SURVEY.md §5): on SIGTERM/SIGINT finish the current
-    # epoch boundary with an emergency checkpoint instead of losing progress.
-    import signal
+    # Failure handling (SURVEY.md §5): on SIGTERM finish the current epoch
+    # boundary with an emergency checkpoint instead of losing progress;
+    # multi-host ranks agree on the stop via allgather (GracefulStop).
+    from tinyfaces_tpu.parallel.distributed import GracefulStop
 
-    stop_requested = {"flag": False}
-
-    def _request_stop(signum, frame):
-        print(f"signal {signum}: will checkpoint and stop after this epoch")
-        stop_requested["flag"] = True
-
-    signal.signal(signal.SIGTERM, _request_stop)
-
-    def stop_agreed() -> bool:
-        """Multi-host: agree on the stop decision at the epoch boundary.
-
-        SIGTERM may be delivered to only some processes (a scheduler
-        killing one task); with a per-process flag those would break out
-        of the loop while the rest enter the next epoch's collectives and
-        deadlock on the missing participants. A tiny allgather makes any
-        single process's signal stop every process at the same boundary.
-        """
-        if jax.process_count() == 1:
-            return stop_requested["flag"]
-        from jax.experimental import multihost_utils
-
-        flags = multihost_utils.process_allgather(
-            np.asarray(stop_requested["flag"], np.int32))
-        return bool(np.asarray(flags).any())
+    stop = GracefulStop()
 
     for epoch in range(start_epoch, args.epochs):
         with trace(args.profile_dir if epoch == start_epoch else None):
             state = trainer.train_epoch(
                 state, train_dataset, epoch, log_every=args.log_every
             )
-        stop_requested["flag"] = stop_agreed()
-        if (epoch + 1) % args.save_every == 0 or stop_requested["flag"]:
+        stop_now = stop.agreed()
+        if (epoch + 1) % args.save_every == 0 or stop_now:
             # State is fully replicated; one writer (process 0) suffices.
             if jax.process_index() == 0:
                 save_checkpoint(
@@ -217,7 +195,7 @@ def main():
                     filename=f"checkpoint_{epoch + 1}",
                     block=not args.async_checkpoint,
                 )
-        if stop_requested["flag"]:
+        if stop_now:
             break
 
     from tinyfaces_tpu.trainer import wait_for_checkpoints

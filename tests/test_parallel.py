@@ -207,6 +207,76 @@ def test_two_process_distributed_cpu():
     np.testing.assert_allclose(vals[0][1], loss, rtol=1e-5)
 
 
+def test_sigterm_stop_agreed_across_processes():
+    """Failure handling (SURVEY.md §5): SIGTERM delivered to ONLY rank 1
+    must stop BOTH ranks at the same epoch boundary via GracefulStop's
+    allgather — rank 0 never sees the signal but must not enter the next
+    epoch's collectives alone (deadlock). Drives the real class main.py
+    uses, over real 2-process jax.distributed."""
+    import os
+    import re
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+
+    worker = Path(__file__).parent / "sigterm_worker.py"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else ""
+    )
+    epochs = 40  # far more than will run: the signal must cut it short
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid), str(epochs)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        # wait for rank 1 to reach its loop, then SIGTERM only it
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = procs[1].stdout.readline()
+            if "READY pid=1" in line:
+                break
+        else:
+            raise AssertionError("rank 1 never became ready")
+        time.sleep(1.5)  # let a couple of epochs run first
+        procs[1].send_signal(signal.SIGTERM)
+
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    stops = {}
+    for out in outs:
+        m = re.search(r"STOPPED pid=(\d) epoch=(-?\d+)", out)
+        assert m, out[-2000:]
+        stops[int(m.group(1))] = int(m.group(2))
+    assert set(stops) == {0, 1}
+    assert stops[0] == stops[1], f"ranks stopped at different epochs: {stops}"
+    assert 0 <= stops[0] < epochs, f"loop was not cut short: {stops}"
+
+
 def test_spatial_forward_matches_replicated():
     """GSPMD spatial partitioning (parallel/spatial.py): the eval forward
     with the image H axis sharded over 8 devices must equal the single-device

@@ -53,6 +53,55 @@ def barrier_at_exit(name: str = "exit") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+class GracefulStop:
+    """SIGTERM -> stop at the next epoch boundary, agreed across processes.
+
+    A scheduler may deliver SIGTERM to only SOME ranks (one task preempted).
+    With a per-process flag, the signaled rank would break out of the epoch
+    loop while the rest enter the next epoch's collectives and deadlock on
+    the missing participant. `agreed()` runs a tiny allgather at the epoch
+    boundary so any single rank's signal stops every rank at the SAME
+    boundary. Single-process: plain flag, no collective.
+
+    The reference has no stop handling at all (main.py just dies);
+    SURVEY.md §5 failure-detection. Exercised for real by
+    tests/test_parallel.py::test_sigterm_stop_agreed_across_processes
+    (2 processes, only rank 1 signaled).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._flag = False
+        for s in signals if signals is not None else (_signal.SIGTERM,):
+            _signal.signal(s, self._handler)
+
+    def _handler(self, signum, frame):
+        print(f"signal {signum}: will checkpoint and stop after this epoch",
+              flush=True)
+        self._flag = True
+
+    def requested(self) -> bool:
+        """This process's local flag (no collective — safe mid-epoch)."""
+        return self._flag
+
+    def agreed(self) -> bool:
+        """Global stop decision; MUST be called by every rank at the same
+        point (epoch boundary) — it is a collective."""
+        if jax.process_count() == 1:
+            return self._flag
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._flag, np.int32))
+        agreed = bool(np.asarray(flags).any())
+        # Latch: once any rank agreed to stop, every rank reports stop from
+        # here on (callers checkpoint once, then break).
+        self._flag = self._flag or agreed
+        return agreed
+
+
 def global_mesh(axis: str = DATA_AXIS):
     """Mesh over every chip in the job (all hosts)."""
     return make_mesh(jax.devices(), axis)
