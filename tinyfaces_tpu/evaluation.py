@@ -578,13 +578,24 @@ class PyramidDetector:
             )
             if hs_j is not None:
                 hs_j, ws_j = (jax.device_put(a, vec_sh) for a in (hs_j, ws_j))
-        return self._fused_pyramid(
+        out = self._fused_pyramid(
             self.variables, self.templates_j,
             images_j, hs_j, ws_j,
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
             transfer=self.transfer,
         )
+        # Start the D2H of the packed detections as soon as compute
+        # finishes (async, cached inside the Array) instead of when the
+        # caller blocks in _fetch — in a depth-N pipeline the copy then
+        # rides the device-compute window of the NEXT batch and _fetch
+        # finds the bytes already host-side. No-op if the backend lacks
+        # the async-copy hook.
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return out
 
     @staticmethod
     def _fetch(async_result) -> list[np.ndarray]:
