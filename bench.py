@@ -197,7 +197,11 @@ def main():
     # img/s vs the 76.6 img/s jpegdct device ceiling, docs/PERF.md). This
     # mirrors the production evaluate_model pipeline (worker-thread decode
     # -> in-flight fused dispatches).
-    iters = int(os.environ.get("BENCH_ITERS", str(max(2, 128 // batch))))
+    # 8 batches/window at b32: with depth-3 pipelining the fill/drain edges
+    # (~114 ms of unoverlapped pack+upload+final-fetch) are ~3% of the
+    # window instead of ~6% at 4 batches — the shorter windows systematically
+    # under-reported steady-state (59.7 vs 65.4 img/s measured same-link).
+    iters = int(os.environ.get("BENCH_ITERS", str(max(2, 256 // batch))))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     pack_pool = ThreadPoolExecutor(1)  # CPU-bound host pack, runs ahead
     submit = ThreadPoolExecutor(1)  # serializes upload + dispatch order
