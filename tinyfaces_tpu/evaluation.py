@@ -67,6 +67,34 @@ def pyramid_level_sizes(h0, w0, sexp: int):
     return th, tw
 
 
+def pyramid_level_sizes_np(hs, ws, factor: float) -> np.ndarray:
+    """Host (NumPy float64) reference sizing for an ARBITRARY scale factor:
+    exactly `transforms.functional.resize(img, int(min_side * factor))`
+    (reference evaluation.py:44-47) — Python float64 truncation for the
+    short side, torchvision's `int(size * long / short)` truncation for
+    the long side, both floored at 1 px.
+
+    Non-integer octaves (half-octave pyramids etc.) cannot use the exact
+    integer arithmetic of `pyramid_level_sizes` (2**s is irrational), and
+    f32 truncation inside the jitted program can flip a floor near an
+    integer boundary — so the fused pyramid takes these as a precomputed
+    (B, 2) int32 array per level instead.
+
+    Returns (B, 2) int32 [[th, tw], ...]."""
+    hs = np.asarray(hs, np.int64)
+    ws = np.asarray(ws, np.int64)
+    mins = np.minimum(hs, ws)
+    tshort = np.maximum(1, (mins * np.float64(factor)).astype(np.int64))
+    # (t * long) / short, left-associative like the Python expression
+    # `int(target_short * h / w)` — a*(b/c) rounds differently in f64.
+    th = np.where(hs <= ws, tshort,
+                  np.maximum(1, ((tshort * hs) / ws).astype(np.int64)))
+    tw = np.where(hs <= ws,
+                  np.maximum(1, ((tshort * ws) / hs).astype(np.int64)),
+                  tshort)
+    return np.stack([th, tw], axis=-1).astype(np.int32)
+
+
 def get_model(
     checkpoint: Optional[str | Path] = None,
     num_templates: int = 25,
@@ -121,10 +149,12 @@ def _round_up_mult(x: int, m: int) -> int:
 def _integer_octaves(scales) -> bool:
     """True when every pyramid scale is an integer octave (f = 2**int).
 
-    The fused single-dispatch program requires integer octaves (its exact
-    integer level sizing, identity-resize skip and folded 2x stem all build
-    on f being a power of two); arbitrary float scales are served by the
-    host-resize path instead."""
+    Integer octaves size their levels with exact in-program integer
+    arithmetic (pyramid_level_sizes) and unlock the identity-resize skip
+    and folded 2x stem. Non-integer octaves (half-octave pyramids etc.)
+    still run fused — their exact float64-truncated level sizes are
+    computed on the host (pyramid_level_sizes_np) and shipped as one
+    extra small int32 array."""
     return all(float(s) == int(s) for s in scales)
 
 
@@ -249,7 +279,7 @@ class PyramidDetector:
         )
 
         def fused_pyramid(variables, templates_j, images_in, h0, w0,
-                          *, scales: tuple, h0p: int, w0p: int,
+                          level_sizes, *, scales: tuple, h0p: int, w0p: int,
                           prob_thresh: float, nms_thresh: float,
                           transfer: str):
             """Whole pyramid in ONE program: device resize of the original to
@@ -312,11 +342,18 @@ class PyramidDetector:
                 f = 2.0**s
                 thp = _round_up_mult(int(round(h0p * f)), 32)
                 twp = _round_up_mult(int(round(w0p * f)), 32)
-                sexp = int(s)  # pyramid exponent: f = 2**sexp
-                if sexp != s:
-                    raise ValueError(
-                        f"pyramid scales must be integer octaves, got {s!r}")
-                th_v, tw_v = pyramid_level_sizes(h0, w0, sexp)
+                if float(s) == int(s):
+                    # integer octave: exact in-program integer sizing
+                    # (shift + integer division, see pyramid_level_sizes)
+                    th_v, tw_v = pyramid_level_sizes(h0, w0, int(s))
+                else:
+                    # arbitrary scale (half-octave pyramids etc.): exact
+                    # float64-truncated sizes are computed on the HOST
+                    # (pyramid_level_sizes_np) and ride in as int32 —
+                    # f32 arithmetic in-program could flip a truncation
+                    # at an integer boundary.
+                    th_v = level_sizes[:, si, 0]
+                    tw_v = level_sizes[:, si, 1]
                 th_v = jnp.clip(th_v, 1, thp)
                 tw_v = jnp.clip(tw_v, 1, twp)
 
@@ -432,17 +469,15 @@ class PyramidDetector:
         """Returns (N, 5) [x1, y1, x2, y2, score] detections on the host.
 
         Default path: one fused on-device program (device pyramid resize +
-        all forwards + decode + NMS, single dispatch). `host_resize=True`
-        selects the PIL-resize-per-scale path (reference-identical resampling,
-        one dispatch per scale)."""
-        if not host_resize and _integer_octaves(
-            self.ec.scales if scales is None else scales
-        ):
+        all forwards + decode + NMS, single dispatch) — any scale set,
+        including non-integer octaves (half-octave pyramids ship exact
+        host-computed level sizes). `host_resize=True` selects the
+        PIL-resize-per-scale path (reference-identical resampling, one
+        dispatch per scale)."""
+        if not host_resize:
             return self.detect_batch(
                 [image], prob_thresh, nms_thresh, scales
             )[0]
-        # Non-integer octaves (e.g. half-octave pyramids) fall back to the
-        # per-scale host-resize path, which supports arbitrary float scales.
         return self._detect_host_resize(image, prob_thresh, nms_thresh, scales)
 
     def detect_batch(
@@ -455,13 +490,10 @@ class PyramidDetector:
         """Fused-path detection over a batch of images (padded to a common
         bucketed shape — batch same-sized images for best throughput).
 
-        Non-integer-octave scales fall back to the per-image host-resize
-        path (arbitrary float scales; one dispatch per image per scale)."""
-        if not _integer_octaves(self.ec.scales if scales is None else scales):
-            return [
-                self._detect_host_resize(im, prob_thresh, nms_thresh, scales)
-                for im in images
-            ]
+        Any scale set works, including non-integer octaves: half-octave
+        pyramids ship exact host-computed (float64-truncated) level sizes
+        as one extra small int32 array; integer octaves keep the exact
+        in-program integer sizing with no extra transfer."""
         return self._fetch(self.detect_batch_async(
             images, prob_thresh, nms_thresh, scales
         ))
@@ -495,8 +527,12 @@ class PyramidDetector:
             wire = jpegdct.pack_dct_batch(
                 dcts, h0p, w0p,
                 wire_version=4 if self.transfer == "jpegdct4" else 3)
-            return PackedBatch({"_wire": wire["_wire"]}, None, None,
-                               h0p, w0p)
+            # hs/ws also ride INSIDE the wire (h0w0 field) and are not
+            # uploaded separately; the host copies here feed the
+            # arbitrary-scale level sizing (pyramid_level_sizes_np).
+            return PackedBatch({"_wire": wire["_wire"]},
+                               np.asarray(hs, np.int32),
+                               np.asarray(ws, np.int32), h0p, w0p)
 
         hs = [im.shape[0] for im in images]
         ws = [im.shape[1] for im in images]
@@ -543,6 +579,13 @@ class PyramidDetector:
         packed = (images if isinstance(images, PackedBatch)
                   else self.pack_inputs(images))
         h0p, w0p = packed.h0p, packed.w0p
+        # Arbitrary (non-integer-octave) scales: exact float64 reference
+        # sizing happens on the host; one extra small int32 (B, L, 2) put.
+        # Integer octaves (the reference protocol) pass None and keep the
+        # exact in-program integer sizing — no extra transfer.
+        sizes_np = (None if _integer_octaves(scales) else np.stack(
+            [pyramid_level_sizes_np(packed.hs, packed.ws, 2.0**s)
+             for s in scales], axis=1))
         if self.transfer.startswith("jpegdct"):
             # ONE coalesced H2D put per batch — every put pays the
             # tunnel's per-transfer latency (docs/PERF.md round 3); the
@@ -578,9 +621,12 @@ class PyramidDetector:
             )
             if hs_j is not None:
                 hs_j, ws_j = (jax.device_put(a, vec_sh) for a in (hs_j, ws_j))
+            if sizes_np is not None:
+                sizes_np = jax.device_put(jnp.asarray(sizes_np), vec_sh)
         out = self._fused_pyramid(
             self.variables, self.templates_j,
             images_j, hs_j, ws_j,
+            None if sizes_np is None else jnp.asarray(sizes_np),
             scales=scales, h0p=h0p, w0p=w0p,
             prob_thresh=float(prob_thresh), nms_thresh=float(nms_thresh),
             transfer=self.transfer,
