@@ -246,14 +246,26 @@ def test_sigterm_stop_agreed_across_processes():
         for pid in (0, 1)
     ]
     try:
-        # wait for rank 1 to reach its loop, then SIGTERM only it
+        # wait for rank 1 to reach its loop, then SIGTERM only it.
+        # select() before each readline: a silent-but-alive worker (e.g.
+        # blocked in jax.distributed.initialize because rank 0 died
+        # pre-bind) must FAIL at the deadline, not hang the suite on a
+        # blocking readline.
+        import select
+
         deadline = time.time() + 120
-        while time.time() < deadline:
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                raise AssertionError("rank 1 never became ready")
+            ready, _, _ = select.select([procs[1].stdout], [], [], remaining)
+            if not ready:
+                raise AssertionError("rank 1 never became ready")
             line = procs[1].stdout.readline()
             if "READY pid=1" in line:
                 break
-        else:
-            raise AssertionError("rank 1 never became ready")
+            if line == "" and procs[1].poll() is not None:
+                raise AssertionError("rank 1 exited before READY")
         time.sleep(1.5)  # let a couple of epochs run first
         procs[1].send_signal(signal.SIGTERM)
 

@@ -171,8 +171,11 @@ class PackedBatch(NamedTuple):
     """Upload-ready host half of one detector batch (pack_inputs):
     `host` is the transfer-specific array payload ({"_wire": ...} for
     jpegdct*, (y, u, v) planes for yuv420, the uint8 canvas for rgb);
-    hs/ws are per-image true sizes (None when they ride inside the
-    wire); h0p/w0p the padded canvas."""
+    hs/ws are per-image true sizes — pack_inputs always fills them (for
+    jpegdct* they additionally ride inside the wire's h0w0 field and are
+    not uploaded separately; the host copies feed the arbitrary-scale
+    level sizing). hs/ws=None is tolerated for integer-octave scale sets
+    only. h0p/w0p: the padded canvas."""
 
     host: object
     hs: Optional[np.ndarray]
@@ -583,9 +586,17 @@ class PyramidDetector:
         # sizing happens on the host; one extra small int32 (B, L, 2) put.
         # Integer octaves (the reference protocol) pass None and keep the
         # exact in-program integer sizing — no extra transfer.
-        sizes_np = (None if _integer_octaves(scales) else np.stack(
-            [pyramid_level_sizes_np(packed.hs, packed.ws, 2.0**s)
-             for s in scales], axis=1))
+        if _integer_octaves(scales):
+            sizes_np = None
+        else:
+            if packed.hs is None:
+                raise ValueError(
+                    "non-integer-octave scales need per-image sizes: this "
+                    "PackedBatch has hs/ws=None (hand-built?) — create it "
+                    "with pack_inputs, which always fills them")
+            sizes_np = np.stack(
+                [pyramid_level_sizes_np(packed.hs, packed.ws, 2.0**s)
+                 for s in scales], axis=1)
         if self.transfer.startswith("jpegdct"):
             # ONE coalesced H2D put per batch — every put pays the
             # tunnel's per-transfer latency (docs/PERF.md round 3); the

@@ -105,7 +105,9 @@ def main():
     t0 = time.time()
     if args.mode == "device":
         # Enqueue all distinct pre-staged dispatches; observe each
-        # completion by fetching the small valid-mask output.
+        # completion by fetching the packed (B, K, 6) detections — the
+        # same single D2H the production _fetch pays (~576 KB/batch32),
+        # so "device" mode includes one mandatory fetch round trip.
         outs = [dispatch(wv) for wv in wires]
         for o in outs:
             np.asarray(o)

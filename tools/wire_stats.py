@@ -39,11 +39,11 @@ def content_images(kind: str, n: int, h: int, w: int, seed: int = 0):
              spreads energy across AC bands along edges.
     """
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
     if kind == "natural":
         from bench import natural_images
 
         return natural_images(n, h, w, seed=seed)
+    yy, xx = np.mgrid[0:h, 0:w]
     out = []
     for _ in range(n):
         if kind == "smooth":
@@ -126,6 +126,13 @@ def wire_psnr(img: np.ndarray, h: int, w: int, quality: int,
 
 
 def main():
+    # Host-statistics tool: the --psnr reconstruction runs the device
+    # unpack math on the CPU backend (the axon plugin overrides
+    # JAX_PLATFORMS, so pin it programmatically — a remote-TPU init here
+    # would pay tunnel compiles for a host-only analysis).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--h", type=int, default=768)
     ap.add_argument("--w", type=int, default=1024)
@@ -167,6 +174,10 @@ def main():
               f"{worst[1]['v4_drop_pct']:.2f}% of nonzero AC "
               f"(v3 {worst[1]['v3_drop_pct']:.2f}%); yuv420 pixel wire = "
               f"1.5 B/px, rgb = 3.0")
+
+    from tinyfaces_tpu.utils.runtime import clean_exit
+
+    clean_exit()  # interpreter exit hangs ~4 min on jax plugin teardown
 
 
 if __name__ == "__main__":
