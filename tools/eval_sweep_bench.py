@@ -50,6 +50,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=200)
     parser.add_argument("--transfer", default="yuv420")
+    parser.add_argument("--eval-batch", type=int, default=16,
+                        help="device batch per bucket for the batched modes "
+                             "(32 reuses bench.py's warmest program)")
     parser.add_argument("--root", default="/tmp/eval_sweep_bench")
     args = parser.parse_args()
 
@@ -101,8 +104,9 @@ def main():
         print(f"{name}: {args.n / dt:.2f} img/s ({dt:.1f}s)", flush=True)
         return args.n / dt
 
-    r_pipe = timed("pipelined", eval_batch=16, workers=8, inflight=3)
-    r_sync = timed("sync-batch", eval_batch=16, workers=1, inflight=0)
+    eb = args.eval_batch
+    r_pipe = timed("pipelined", eval_batch=eb, workers=8, inflight=3)
+    r_sync = timed("sync-batch", eval_batch=eb, workers=1, inflight=0)
     r_serial = timed("per-image", eval_batch=1)
     print(f"pipelined vs sync-batch: {r_pipe / r_sync:.2f}x; "
           f"vs per-image: {r_pipe / r_serial:.2f}x", flush=True)
