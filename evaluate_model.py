@@ -59,8 +59,11 @@ def arguments(argv=None):
                         help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (fp32 decode)")
-    parser.add_argument("--eval-batch", type=int, default=8,
-                        help="device batch per bucket (1 = per-image)")
+    parser.add_argument("--eval-batch", type=int, default=32,
+                        help="device batch per bucket (1 = per-image); 32 "
+                             "amortizes the remote link's ~33 ms dispatch "
+                             "latency best (docs/PERF.md round 4i: 62.9 vs "
+                             "37.9 img/s at 16 on the val sweep)")
     parser.add_argument("--host-resize", action="store_true",
                         help="PIL per-scale resize (reference resampling, "
                              "one dispatch per scale — slow; see --resample "
@@ -107,7 +110,7 @@ def arguments(argv=None):
 
 
 def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
-        debug=False, eval_batch=8, host_resize=False, workers=8,
+        debug=False, eval_batch=32, host_resize=False, workers=8,
         inflight=3, rank=0, world=1):
     """Evaluate the split with a three-stage pipeline: worker threads decode
     JPEGs (the reference's DataLoader(num_workers=8) equivalent,

@@ -50,9 +50,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=200)
     parser.add_argument("--transfer", default="yuv420")
-    parser.add_argument("--eval-batch", type=int, default=16,
+    parser.add_argument("--eval-batch", type=int, default=32,
                         help="device batch per bucket for the batched modes "
-                             "(32 reuses bench.py's warmest program)")
+                             "(32 = evaluate_model's default; it reuses "
+                             "bench.py's warmest program)")
     parser.add_argument("--root", default="/tmp/eval_sweep_bench")
     args = parser.parse_args()
 

@@ -155,12 +155,13 @@ def main() -> None:
                     metavar="B",
                     help="extra fused-pyramid batch size (repeatable; "
                          "32 and 1 are always included)")
-    ap.add_argument("--val-ladder", type=int, nargs="?", const=8, default=0,
+    ap.add_argument("--val-ladder", type=int, nargs="?", const=32, default=0,
                     metavar="EVAL_BATCH",
                     help="also compile the standard WIDER-val bucket ladder "
                          "at each bucket's device batch for this "
-                         "--eval-batch (default 8 when given bare) — a full "
-                         "val sweep then hits only warm programs")
+                         "--eval-batch (default 32 when given bare, matching "
+                         "evaluate_model's default) — a full val sweep then "
+                         "hits only warm programs")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
