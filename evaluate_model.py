@@ -58,7 +58,13 @@ def arguments(argv=None):
                         choices=("resnet101", "resnet50"),
                         help="backbone (reference model.py:13 base_model knob)")
     parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 inference (fp32 decode)")
+                        help="bfloat16 inference (fp32 decode) — the "
+                             "DEFAULT since round 4c (35%% faster fused "
+                             "pyramid, docs/PERF.md); kept as a no-op for "
+                             "script compatibility")
+    parser.add_argument("--fp32", action="store_true",
+                        help="full fp32 inference (reference-exact "
+                             "precision; parity_run's default)")
     parser.add_argument("--eval-batch", type=int, default=32,
                         help="device batch per bucket (1 = per-image); 32 "
                              "amortizes the remote link's ~33 ms dispatch "
@@ -75,13 +81,16 @@ def arguments(argv=None):
                              "PIL-bilinear-matched on the uint8 grid "
                              "(reference resampling fused in-program; "
                              "requires --transfer rgb)")
-    parser.add_argument("--transfer", default="rgb",
+    parser.add_argument("--transfer", default="jpegdct",
                         choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
-                        help="fused-path wire format; yuv420 halves H2D bytes"
-                             " (JPEG-native chroma subsampling); jpegdct "
+                        help="fused-path wire format. jpegdct (default — "
+                             "the production wire, docs/PERF.md rounds 3/4) "
                              "ships entropy-decoded DCT coefficients "
-                             "(jpegdct4: bitmap-sparse, ~2/3 the bytes) "
-                             "(~0.5-0.9 B/px) and decodes on the TPU")
+                             "(~0.5-0.9 B/px) and decodes on the TPU; "
+                             "rgb uploads the uint8 canvas (bit-exact "
+                             "reference input); yuv420 halves H2D bytes; "
+                             "jpegdct4 is bitmap-sparse (~2/3 the bytes, "
+                             "for links <~15 MiB/s)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard each fused batch over every local chip "
                              "(requires eval-batch divisible by chip count)")
@@ -276,7 +285,7 @@ def main():
     model, variables = get_model(
         args.checkpoint,
         num_templates=templates.shape[0],
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         arch=args.arch,
     )
 

@@ -86,6 +86,24 @@ def test_write_results_format(tmp_path):
     assert float(f[4]) == 0.93
 
 
+def test_write_results_drops_nonfinite_rows(tmp_path):
+    """exp-overflowed regressions (reference models/utils.py:87-88 with
+    degenerate weights) produce inf boxes that cannot serialize as ints;
+    write_results must drop them and keep the finite rows."""
+    dets = np.array(
+        [
+            [10.0, 20.0, 50.0, 80.0, 0.9],
+            [5.0, 5.0, np.inf, 25.0, 0.5],
+            [1.0, np.nan, 9.0, 9.0, 0.4],
+        ]
+    )
+    path = write_results(dets, "2--Demo/y.jpg", "val",
+                         results_dir=tmp_path / "r")
+    lines = path.read_text().splitlines()
+    assert lines[1] == "1"
+    assert lines[2].split()[:4] == ["10", "20", "41", "61"]
+
+
 def test_write_results_empty(tmp_path):
     path = write_results(
         np.zeros((0, 5)), "1--Handshaking/x.jpg", "val", results_dir=tmp_path / "r"

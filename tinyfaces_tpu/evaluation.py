@@ -783,6 +783,13 @@ def write_results(
     filename = results_dir / img_path.replace("jpg", "txt")
     filename.parent.mkdir(parents=True, exist_ok=True)
 
+    # Non-finite rows (exp-overflowed regressions from degenerate weights —
+    # the reference's np.exp at models/utils.py:87-88 overflows identically)
+    # cannot be serialized as integers; they carry no usable box, so drop.
+    finite = np.isfinite(dets).all(axis=1)
+    if not finite.all():
+        dets = dets[finite]
+
     with open(filename, "w") as f:
         f.write(img_path.split("/")[-1] + "\n")
         f.write(str(dets.shape[0]) + "\n")

@@ -119,6 +119,18 @@ def main(argv=None):
                         choices=("pil", "linear"),
                         help="fused-sweep level resampling; pil (default) "
                              "= reference-matched PIL bilinear on device")
+    parser.add_argument("--transfer", default="rgb",
+                        choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
+                        help="wire format for the fused sweep (rgb = "
+                             "bit-exact reference input; jpegdct = the "
+                             "production DCT wire, docs/PERF.md round 3)")
+    parser.add_argument("--eval-batch", type=int, default=32,
+                        help="device batch per shape bucket (see "
+                             "evaluate_model.bucket_batch_for)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 inference (the measured-faster eval "
+                             "precision, docs/PERF.md round 4c; default "
+                             "fp32 preserves reference parity semantics)")
     args = parser.parse_args(argv)
 
     from tinyfaces_tpu.utils.runtime import enable_compilation_cache
@@ -149,14 +161,18 @@ def main(argv=None):
     cfg = DetectorConfig()
     print(f"[parity-run] 1/4 loading checkpoint "
           f"{args.checkpoint or '(random init — smoke only)'}")
-    model, variables = get_model(args.checkpoint or None,
-                                 num_templates=templates.shape[0])
+    import jax.numpy as jnp
+
+    model, variables = get_model(
+        args.checkpoint or None, num_templates=templates.shape[0],
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     # resample="pil": the fused sweep runs the reference's PIL-bilinear
     # resampling in-program (ops/pilresize.py) — the A/B below then
     # compares two implementations of the SAME kernel, and the fast
     # sweep is the parity configuration rather than a deviation from it.
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig(resample=args.resample))
+                               ec=EvalConfig(resample=args.resample),
+                               transfer=args.transfer)
 
     dataset = WIDERFace(valdata, templates, cfg=cfg, dataset_root=root,
                         split="val")
@@ -180,7 +196,8 @@ def main(argv=None):
     print(f"[parity-run] 3/4 evaluating {len(dataset)} val images")
     t0 = time.time()
     evaluate_model.run(detector, dataset, args.prob_thresh, args.nms_thresh,
-                       "val", results_dir=results_dir)
+                       "val", results_dir=results_dir,
+                       eval_batch=args.eval_batch)
     rate = len(dataset) / (time.time() - t0)
     print(f"[parity-run]    {rate:.2f} img/s")
 
@@ -222,6 +239,8 @@ def main(argv=None):
         "images_per_sec": round(rate, 2),
         "checkpoint": str(args.checkpoint),
         "synthetic_smoke": bool(args.synthetic),
+        "transfer": args.transfer,
+        "bf16": bool(args.bf16),
     }
     Path(args.out).write_text(json.dumps(payload, indent=1))
     print(f"[parity-run] wrote {args.out}")

@@ -39,10 +39,33 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 
 
+def paint_faces(rng: np.random.Generator, h: int, w: int):
+    """One synthetic photo with painted face-like blobs (bright ellipse on
+    darker head-box) over a textured background, 2-14 faces at WIDER-like
+    scales (8-160 px). Returns (uint8 HxWx3 image, [(x, y, w, h), ...]) —
+    a consistent local pattern the detector templates can latch onto, shared
+    by the train soak and the e2e accuracy harness so train/val draws come
+    from the same distribution."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (96 + 50 * np.sin(xx / rng.uniform(40, 140))
+           + 40 * np.cos(yy / rng.uniform(30, 120)))[..., None]
+    img = img + rng.normal(0, 12, (h, w, 3))
+    n_faces = int(rng.integers(2, 15))
+    boxes = []
+    for _ in range(n_faces):
+        s = int(np.clip(rng.lognormal(3.2, 0.8), 8, 160))
+        x = int(rng.integers(0, max(1, w - s)))
+        y = int(rng.integers(0, max(1, h - s)))
+        img[y:y + s, x:x + s] = img[y:y + s, x:x + s] * 0.4 + 60
+        cy, cx, r = y + s / 2, x + s / 2, s / 2.2
+        mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        img[mask] = [225, 185, 160]
+        boxes.append((x, y, s, s))
+    return np.clip(img, 0, 255).astype(np.uint8), boxes
+
+
 def make_wider_tree(root: Path, n_images: int, seed: int = 0) -> None:
-    """Synthetic WIDER train split: photos with painted face-like blobs
-    (bright ellipse on darker head-box) over textured backgrounds, 2-14
-    faces each at WIDER-like scales (8-160 px)."""
+    """Synthetic WIDER train split built from paint_faces images."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -52,26 +75,9 @@ def make_wider_tree(root: Path, n_images: int, seed: int = 0) -> None:
     for i in range(n_images):
         h = int(rng.integers(420, 760))
         w = int(rng.integers(520, 1000))
-        yy, xx = np.mgrid[0:h, 0:w]
-        img = (96 + 50 * np.sin(xx / rng.uniform(40, 140))
-               + 40 * np.cos(yy / rng.uniform(30, 120)))[..., None]
-        img = img + rng.normal(0, 12, (h, w, 3))
-        n_faces = int(rng.integers(2, 15))
-        boxes = []
-        for _ in range(n_faces):
-            s = int(np.clip(rng.lognormal(3.2, 0.8), 8, 160))
-            x = int(rng.integers(0, max(1, w - s)))
-            y = int(rng.integers(0, max(1, h - s)))
-            # head box + bright elliptical "skin" disc: a consistent local
-            # pattern the detector templates can latch onto
-            img[y:y + s, x:x + s] = img[y:y + s, x:x + s] * 0.4 + 60
-            cy, cx, r = y + s / 2, x + s / 2, s / 2.2
-            mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
-            img[mask] = [225, 185, 160]
-            boxes.append((x, y, s, s))
+        img, boxes = paint_faces(rng, h, w)
         name = f"soak_{i:05d}.jpg"
-        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
-            d / name, quality=88)
+        Image.fromarray(img).save(d / name, quality=88)
         lines.append(f"0--Soak/{name}")
         lines.append(str(len(boxes)))
         lines.extend(f"{x} {y} {bw} {bh} 0 0 0 0 0 0"
