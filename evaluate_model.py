@@ -5,6 +5,7 @@ writes WIDER-format result files (<results_dir>/<event>/<img>.txt).
 """
 
 import argparse
+import sys
 
 from tinyfaces_tpu.config import DetectorConfig, EvalConfig
 from tinyfaces_tpu.data import get_dataloader
@@ -60,8 +61,8 @@ def arguments(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (fp32 decode) — the "
                              "DEFAULT since round 4c (35%% faster fused "
-                             "pyramid, docs/PERF.md); kept as a no-op for "
-                             "script compatibility")
+                             "pyramid, docs/PERF.md); explicit form of "
+                             "the default (mutually exclusive with --fp32)")
     parser.add_argument("--fp32", action="store_true",
                         help="full fp32 inference (reference-exact "
                              "precision; parity_run's default)")
@@ -132,6 +133,7 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     `rank`/`world`: multi-process sharding — this process detects images
     `rank::world` only; per-image result files are disjoint across
     processes, so all ranks may share one results_dir."""
+    import time
     from collections import defaultdict, deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -141,6 +143,13 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     n = len(indices)
     done = 0
     dets = None
+    # Phase attribution (VERDICT r4 #3: the e2e artifact recorded 0.93
+    # img/s with no way to tell compile from dispatch from writer time).
+    # Thread-worker phases accumulate under the GIL; the summary prints
+    # on stderr at the end of every sweep.
+    ph = {"decode_wait": 0.0, "pack": 0.0, "dispatch": 0.0,
+          "result_wait": 0.0, "fetch_d2h": 0.0, "write": 0.0}
+    t_sweep = time.perf_counter()
 
     jpegdct = getattr(detector, "transfer", "rgb").startswith("jpegdct")
     if jpegdct and host_resize:
@@ -195,13 +204,20 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     def settle(entry):
         nonlocal done, dets
         items, submitted = entry
-        results = detector._fetch(submitted.result())
+        t0 = time.perf_counter()
+        async_out = submitted.result()
+        t1 = time.perf_counter()
+        results = detector._fetch(async_out)
+        t2 = time.perf_counter()
+        ph["result_wait"] += t1 - t0
+        ph["fetch_d2h"] += t2 - t1
         for (im, img_path), d in zip(items, results):
             write_results(d, img_path, split, results_dir)
             dets = d
             done += 1
             if done % 25 == 0 or done == n:
                 print(f"[{done}/{n}] {img_path}: {d.shape[0]} detections")
+        ph["write"] += time.perf_counter() - t2
 
     # Host prep splits into two single-worker stages: pack (CPU-bound
     # C++ entropy-decode + pack) and upload+dispatch (network-bound). A
@@ -212,18 +228,29 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
     pack_pool = ThreadPoolExecutor(1)
     submit_pool = ThreadPoolExecutor(1)  # one worker: keeps dispatch order
 
+    def timed_pack(imgs):
+        t0 = time.perf_counter()
+        out = detector.pack_inputs(imgs)
+        ph["pack"] += time.perf_counter() - t0
+        return out
+
+    def timed_dispatch(p):
+        packed = p.result()
+        t0 = time.perf_counter()
+        out = detector.detect_batch_async(packed, prob_thresh, nms_thresh)
+        ph["dispatch"] += time.perf_counter() - t0
+        return out
+
     def flush(bucket):
         items = groups.pop(bucket)
         imgs = [im for im, _ in items]
         # pad the group to the bucket's fixed batch size (stable compile
         # shapes); surplus outputs are discarded
         imgs += [imgs[-1]] * (bucket_batch(bucket) - len(imgs))
-        packed = pack_pool.submit(detector.pack_inputs, imgs)
+        packed = pack_pool.submit(timed_pack, imgs)
         pending.append(
             (items,
-             submit_pool.submit(
-                 lambda p=packed: detector.detect_batch_async(
-                     p.result(), prob_thresh, nms_thresh)))
+             submit_pool.submit(timed_dispatch, packed))
         )
         while len(pending) > inflight:
             settle(pending.popleft())
@@ -240,7 +267,9 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             while nxt < limit and len(futs) < window:
                 futs.append(pool.submit(fetch, indices[nxt]))
                 nxt += 1
+            t0 = time.perf_counter()
             image, img_path = futs.popleft().result()
+            ph["decode_wait"] += time.perf_counter() - t0
             h, w = dims(image)
             bucket = (_round_up(h), _round_up(w))
             groups[bucket].append((image, img_path))
@@ -252,6 +281,16 @@ def run(detector, dataset, prob_thresh, nms_thresh, split, results_dir=None,
             settle(pending.popleft())
     pack_pool.shutdown(wait=True)
     submit_pool.shutdown(wait=True)
+    wall = time.perf_counter() - t_sweep
+    print(
+        f"# sweep phases (wall {wall:.1f}s, {done} imgs, "
+        f"{done / wall:.1f} img/s): main-thread decode_wait "
+        f"{ph['decode_wait']:.1f}s, result_wait {ph['result_wait']:.1f}s "
+        f"(compile+compute+D2H not overlapped), fetch_d2h "
+        f"{ph['fetch_d2h']:.1f}s, write {ph['write']:.1f}s; worker-thread "
+        f"pack {ph['pack']:.1f}s, dispatch {ph['dispatch']:.1f}s",
+        file=sys.stderr,
+    )
     return dets
 
 
@@ -263,6 +302,16 @@ def main():
     import jax.numpy as jnp
 
     args = arguments()
+
+    # Precision resolution (advisor r4): the default silently moved to
+    # bf16 in round 4c — surface it once so pre-round-4 invocations know
+    # their numbers changed, and reject the contradictory flag pair.
+    if args.bf16 and args.fp32:
+        raise SystemExit("--bf16 and --fp32 are mutually exclusive")
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    if not (args.fp32 or args.bf16):
+        print("# precision: bf16 (default since round 4c; pass --fp32 for "
+              "reference-exact precision)", file=sys.stderr)
 
     world = max(1, args.num_processes)
     if args.coordinator_address:
@@ -285,7 +334,7 @@ def main():
     model, variables = get_model(
         args.checkpoint,
         num_templates=templates.shape[0],
-        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        dtype=dtype,
         arch=args.arch,
     )
 

@@ -187,14 +187,19 @@ def main():
             )
         stop_now = stop.agreed()
         if (epoch + 1) % args.save_every == 0 or stop_now:
-            # State is fully replicated; one writer (process 0) suffices.
-            if jax.process_index() == 0:
-                save_checkpoint(
-                    state, epoch + 1, tc.batch_size,
-                    save_path=weights_dir,
-                    filename=f"checkpoint_{epoch + 1}",
-                    block=not args.async_checkpoint,
-                )
+            # COLLECTIVE save: orbax's save protocol includes
+            # cross-process sync barriers once jax.distributed is
+            # initialized, so a rank-0-only save deadlocks the job (rank 0
+            # waits in orbax's barrier, the rest in the next epoch /
+            # exit barrier — caught by tests/test_parallel.py::
+            # test_four_process_train_checkpoint_resume). Every rank
+            # calls; orbax writes from the primary host only.
+            save_checkpoint(
+                state, epoch + 1, tc.batch_size,
+                save_path=weights_dir,
+                filename=f"checkpoint_{epoch + 1}",
+                block=not args.async_checkpoint,
+            )
         if stop_now:
             break
 

@@ -356,14 +356,40 @@ def test_choose_eval_sharding_auto():
     assert choose_eval_sharding(mesh, 8, "spatial").spec == P(None, "data")
 
 
-def test_two_process_sharded_evaluation(tmp_path):
-    """Multi-host evaluation (VERDICT r2 #6): two real processes, each
-    initializing jax.distributed over loopback and sweeping its
-    rank::world slice of a synthetic val split into one shared
-    results_dir. The merged file tree must equal the full image list, with
-    no overlap between ranks."""
-    import re
+def _free_port() -> int:
     import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(devices_per_proc: int) -> dict:
+    import os
+    from pathlib import Path
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else ""
+    )
+    return env
+
+
+def _run_sharded_eval(tmp_path, world: int, n_images: int,
+                      devices_per_proc: int = 4):
+    """Multi-host evaluation (VERDICT r2 #6, widened to world=4 in r5):
+    `world` real processes, each initializing jax.distributed over loopback
+    and sweeping its rank::world slice of a synthetic val split into one
+    shared results_dir. The merged file tree must equal the full image
+    list, with no overlap between ranks."""
+    import re
     import subprocess
     import sys
     from pathlib import Path
@@ -376,7 +402,7 @@ def test_two_process_sharded_evaluation(tmp_path):
     d.mkdir(parents=True)
     rng = np.random.default_rng(0)
     ann = []
-    for i in range(6):
+    for i in range(n_images):
         img = rng.integers(0, 255, (96, 112, 3), dtype=np.uint8)
         Image.fromarray(img).save(d / f"im_{i}.jpg")
         ann += [f"0--Ev/im_{i}.jpg", "1", "10 10 20 20 0 0 0 0 0 0"]
@@ -385,39 +411,100 @@ def test_two_process_sharded_evaluation(tmp_path):
     (sd / "val.txt").write_text("\n".join(ann) + "\n")
     results = tmp_path / "results"
 
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-
-    import os
-
+    port = _free_port()
     worker = Path(__file__).parent / "eval_shard_worker.py"
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env.pop("JAX_PLATFORMS", None)
+    env = _worker_env(devices_per_proc)
     repo_root = str(Path(__file__).parent.parent)
-    env["PYTHONPATH"] = repo_root + (
-        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else ""
-    )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), f"127.0.0.1:{port}", "2", str(pid),
-             str(root), str(results)],
+            [sys.executable, str(worker), f"127.0.0.1:{port}", str(world),
+             str(pid), str(root), str(results)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=repo_root,
         )
-        for pid in (0, 1)
+        for pid in range(world)
     ]
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=420)
             assert p.returncode == 0, out[-2000:]
-            assert re.search(r"EVAL_SHARD_OK pid=\d n=6", out), out[-2000:]
+            assert re.search(rf"EVAL_SHARD_OK pid=\d n={n_images}", out), \
+                out[-2000:]
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
 
     files = sorted(f.name for f in results.glob("*/*.txt"))
-    assert files == [f"im_{i}.txt" for i in range(6)]
+    assert files == sorted(f"im_{i}.txt" for i in range(n_images))
+
+
+def test_two_process_sharded_evaluation(tmp_path):
+    _run_sharded_eval(tmp_path, world=2, n_images=6)
+
+
+def test_four_process_sharded_evaluation(tmp_path):
+    # 4 processes x 2 devices; 7 images -> uneven rank slices (2/2/2/1)
+    _run_sharded_eval(tmp_path, world=4, n_images=7, devices_per_proc=2)
+
+
+def test_four_process_train_checkpoint_resume(tmp_path):
+    """World-4 training with a checkpoint/resume seam (r4 verdict #6): four
+    real jax.distributed processes (2 virtual devices each, 8 global) run
+    the REAL train stack. Phase `full` runs 4 steps straight through;
+    `part1` runs 2 steps and rank 0 writes the orbax checkpoint; `part2`
+    restores on ALL ranks and runs the remaining 2 steps. Every rank's
+    params+opt_state digest must be bitwise-identical across ranks AND
+    across the seam (full == part1;part2)."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "train_resume_worker.py"
+    env = _worker_env(devices_per_proc=2)
+    repo_root = str(Path(__file__).parent.parent)
+    world = 4
+
+    def run_phase(phase: str) -> list[str]:
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), f"127.0.0.1:{port}",
+                 str(world), str(pid), str(tmp_path), phase],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=repo_root,
+            )
+            for pid in range(world)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+                assert p.returncode == 0, out[-2000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return outs
+
+    digests = {}
+    for phase in ("full", "part1", "part2"):
+        outs = run_phase(phase)
+        if phase == "part1":
+            assert all("SAVED" in o for o in outs), outs[0][-2000:]
+            continue
+        for out in outs:
+            m = re.search(r"DIGEST pid=(\d) phase=(\w+) ([0-9a-f]{64})", out)
+            assert m, out[-2000:]
+            digests[(phase, int(m.group(1)))] = m.group(3)
+
+    full = {digests[("full", r)] for r in range(world)}
+    resumed = {digests[("part2", r)] for r in range(world)}
+    assert len(full) == 1, f"ranks diverged in full run: {full}"
+    assert len(resumed) == 1, f"ranks diverged after resume: {resumed}"
+    assert full == resumed, (
+        f"checkpoint seam changed the training trajectory: "
+        f"full={full} resumed={resumed}"
+    )

@@ -103,7 +103,8 @@ def main():
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     tree = workdir / "wider"
-    marker = tree / f".gen_{args.train_images}_{args.val_images}"
+    marker = tree / (f".gen_{args.train_images}_{args.val_images}"
+                     f"_{args.val_size.lower()}")
     if not marker.exists():
         print(f"[e2e] generating {args.train_images}-image train + "
               f"{args.val_images}-image val trees…", flush=True)
@@ -126,8 +127,10 @@ def main():
                            ["--arch", args.arch,
                             "--save-every", str(args.epochs)],
                            cpu=args.cpu)
-        assert rc == 0, f"main.py failed rc={rc}; see {workdir}"
-        assert ckpt.exists(), f"no final checkpoint at {ckpt}"
+        if rc != 0:
+            raise RuntimeError(f"main.py failed rc={rc}; see {workdir}")
+        if not ckpt.exists():
+            raise RuntimeError(f"no final checkpoint at {ckpt}")
         rows = parse_metrics(metrics)
     steps = [r for r in rows if r.get("event") != "epoch_end"]
     train_hours = (time.time() - t_start) / 3600
@@ -158,11 +161,19 @@ def main():
     with open(log_path, "w") as lf:
         rc = subprocess.run(cmd, cwd=workdir, stdout=lf,
                             stderr=subprocess.STDOUT, env=env).returncode
-    assert rc == 0, f"parity_run failed rc={rc}; see {log_path}"
+    if rc != 0:
+        raise RuntimeError(f"parity_run failed rc={rc}; see {log_path}")
     scores = json.loads(scores_json.read_text())
 
-    first = [r["loss_cls"] for r in steps[:3]]
-    last = [r["loss_cls"] for r in steps[-3:]]
+    # Prefer the instantaneous per-step loss (loss_cls_step, r5): the
+    # console `loss_cls` mirrors the reference's never-reset AvgMeter —
+    # a process-lifetime running average whose windows are incomparable
+    # across runs with different start points (r4 verdict weak #4).
+    def _loss(r):
+        return r.get("loss_cls_step") or r["loss_cls"]
+
+    first = [_loss(r) for r in steps[:3]]
+    last = [_loss(r) for r in steps[-3:]]
     aps = scores["scores"]
     result = {
         "train_images": args.train_images,

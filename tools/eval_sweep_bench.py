@@ -49,7 +49,9 @@ def build_tree(root: Path, n: int, seed: int = 0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=200)
-    parser.add_argument("--transfer", default="yuv420")
+    parser.add_argument("--transfer", default="jpegdct",
+                        help="wire format (jpegdct = production default, "
+                             "matching evaluate_model.py)")
     parser.add_argument("--eval-batch", type=int, default=32,
                         help="device batch per bucket for the batched modes "
                              "(32 = evaluate_model's default; it reuses "

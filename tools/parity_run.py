@@ -193,6 +193,24 @@ def main(argv=None):
                       args.prob_thresh, args.nms_thresh)
         print(f"[parity-run]    {ab}")
 
+    # Link-state probe (VERDICT r4 #3): the sweep is transfer-bound on the
+    # remote tunnel, whose bandwidth oscillates 3-131 MiB/s; recording the
+    # probe alongside images_per_sec makes a slow artifact attributable to
+    # the link instead of contradicting the healthy-link headline.
+    link_mbps = None
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        probe = np.zeros(8 << 20, np.uint8)
+        _jax.block_until_ready(_jnp.asarray(probe))  # warm the path
+        t0 = time.time()
+        _jax.block_until_ready(_jnp.asarray(probe))
+        link_mbps = round(8 / max(time.time() - t0, 1e-9), 1)
+        print(f"[parity-run] link probe {link_mbps} MiB/s")
+    except Exception:
+        pass
+
     print(f"[parity-run] 3/4 evaluating {len(dataset)} val images")
     t0 = time.time()
     evaluate_model.run(detector, dataset, args.prob_thresh, args.nms_thresh,
@@ -237,6 +255,7 @@ def main(argv=None):
         "verdict": verdict or None,
         "ab_check": ab,
         "images_per_sec": round(rate, 2),
+        "link_mib_per_sec": link_mbps,
         "checkpoint": str(args.checkpoint),
         "synthetic_smoke": bool(args.synthetic),
         "transfer": args.transfer,

@@ -207,19 +207,25 @@ def main():
         f"resume did not continue from epoch {resume_epoch}: "
         f"{steps2[:1]}")
 
-    # Loss continuity across the resume seam: the first post-resume window
-    # must be in family with the last pre-resume window (AvgMeters reset per
-    # run, so compare window means, not running averages).
-    pre = [r["loss_cls"] for r in steps1[-3:]]
-    post = [r["loss_cls"] for r in steps2[:3]]
+    # Loss continuity across the resume seam, on INSTANTANEOUS per-step
+    # losses (loss_cls_step, r5): the console `loss_cls` is the
+    # reference's never-reset AvgMeter — a process-lifetime running
+    # average, so run 2's early rows average a different history window
+    # than run 1's late rows and their ratio (0.513 in the r4 soak) says
+    # nothing about the seam. Fallback keeps old metrics files readable.
+    def _loss(r):
+        return r.get("loss_cls_step") or r["loss_cls"]
+
+    pre = [_loss(r) for r in steps1[-3:]]
+    post = [_loss(r) for r in steps2[:3]]
     seam_ratio = float(np.mean(post) / max(np.mean(pre), 1e-9))
 
     ips1 = [r["images_per_sec"] for r in rows1
             if r.get("event") == "epoch_end"]
     ips2 = [r["images_per_sec"] for r in epochs2]
     ips = [v for v in ips1 + ips2 if v]
-    first_losses = [r["loss_cls"] for r in steps1[:3]]
-    last_losses = [r["loss_cls"] for r in steps2[-3:]]
+    first_losses = [_loss(r) for r in steps1[:3]]
+    last_losses = [_loss(r) for r in steps2[-3:]]
     steps_per_epoch = args.images // args.batch
     total_steps = steps_per_epoch * args.epochs
     nonfinite = log1.count("non-finite loss") + log2.count("non-finite loss")
