@@ -109,6 +109,43 @@ def main():
         def pack(b):
             y, u, v = rgb_to_yuv420(b.pop("image"))
             return {**b, "image_y": y, "image_u": u, "image_v": v}
+    elif transfer == "jpegdct":
+        # DCT train wire: the step additionally runs dequant+IDCT+chroma
+        # upsample of the 1024^2 source region and the device-side
+        # resize/crop/paste/flip (data/targets.device_augment_dct). Source
+        # coefficients come from a natural-statistics synthetic JPEG so the
+        # wire density is honest.
+        import io
+
+        from PIL import Image
+
+        from tinyfaces_tpu.data.dct_train import decode_dct, train_item_dct
+
+        yy, xx = np.mgrid[0:560, 0:740]
+        img = np.clip(
+            128 + 60 * np.sin(xx / 37.0) * np.cos(yy / 23.0)
+            + rng.normal(0, 10, (560, 740))[..., None] * np.ones(3),
+            0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="jpeg", quality=88)
+        dct = decode_dct(buf.getvalue())
+        bx1 = rng.uniform(0, 420, 40).astype(np.float32)
+        by1 = rng.uniform(0, 420, 40).astype(np.float32)
+        boxes = np.stack(
+            [bx1, by1, bx1 + rng.uniform(8, 80, 40).astype(np.float32),
+             by1 + rng.uniform(8, 80, 40).astype(np.float32)], -1)
+        seed_box = [0]
+
+        def pack(b):
+            items = []
+            for _ in range(batch):
+                seed_box[0] += 1
+                items.append(train_item_dct(
+                    dct, boxes.copy(), cfg,
+                    np.random.default_rng(seed_box[0])))
+            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            out["flip"] = np.array([it["flip"] for it in items])
+            return out
     else:
         def pack(b):
             return b

@@ -57,9 +57,15 @@ def arguments(argv=None):
                         help="console cadence; >1 unblocks device pipelining")
     parser.add_argument("--metrics-log", default="",
                         help="append structured JSONL training metrics here")
-    parser.add_argument("--transfer", default="rgb", choices=("rgb", "yuv420"),
+    parser.add_argument("--transfer", default="rgb",
+                        choices=("rgb", "yuv420", "jpegdct"),
                         help="train-input wire format; yuv420 halves H2D "
-                             "bytes (JPEG-native chroma subsampling)")
+                             "bytes (JPEG-native chroma subsampling); "
+                             "jpegdct skips host pixel decode entirely — "
+                             "DCT coefficients ship to the device, which "
+                             "decodes AND augments (fastest on 1-core "
+                             "hosts; augmentation geometry identical, "
+                             "pixel filtering differs per docs/PERF.md)")
     parser.add_argument("--nan-guard", action="store_true",
                         help="drop non-finite updates on device instead of "
                              "poisoning the weights")

@@ -76,13 +76,18 @@ class PrefetchLoader:
             # the trailing partial batch would yield unequal/empty per-rank
             # slices and inconsistent global shapes across processes
             raise ValueError("multi-host slicing (world > 1) requires drop_last")
-        if pack not in ("rgb", "yuv420"):
+        if pack not in ("rgb", "yuv420", "jpegdct"):
             raise ValueError(f"unknown pack mode {pack!r}")
         self.rank = rank
         self.world = world
         self.pack = pack
 
     def _load_one(self, i: int) -> dict:
+        if self.pack == "jpegdct":
+            # No host pixel decode at all: entropy decode (C++, GIL-free,
+            # cached across epochs) + coefficient crop + pack; the device
+            # augments (data/dct_train.py).
+            return self.dataset.getitem_train_dct(int(i))
         item = self.dataset[int(i)]
         return _pack_yuv(item) if self.pack == "yuv420" else item
 
@@ -158,6 +163,11 @@ class NativePrefetchLoader(PrefetchLoader):
 
     def __iter__(self) -> Iterator[dict]:
         from tinyfaces_tpu.data import native
+
+        if self.pack == "jpegdct":
+            # The dct wire never decodes pixels, so there is nothing for
+            # the native pixel-augmentation engine to do.
+            return super().__iter__()
 
         order = self._begin_epoch()
         cfg = self.dataset.cfg

@@ -74,6 +74,99 @@ def yuv420_to_normalized(y, u, v, dtype=jnp.float32) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def _pil_downscale2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact PIL BILINEAR x0.5 (reference _resize_uint8 -> Image.resize):
+    separable triangle filter, support 2 source px -> taps [2i-1 .. 2i+2]
+    with weights [1/8, 3/8, 3/8, 1/8], edges clamped. (H, W, C) -> (H/2,
+    W/2, C), float pipeline (no uint8 re-quantization — bounded deviation,
+    see data/dct_train.py)."""
+    w = jnp.asarray([0.125, 0.375, 0.375, 0.125], x.dtype)
+
+    def ds_rows(a):
+        n = a.shape[0]
+        ap = jnp.concatenate([a[:1], a, a[-1:], a[-1:]], axis=0)
+        out = (w[0] * ap[0:n:2] + w[1] * ap[1:n + 1:2]
+               + w[2] * ap[2:n + 2:2] + w[3] * ap[3:n + 3:2])
+        # PIL drops out-of-image taps and RENORMALIZES the rest (it does
+        # not clamp): out[0] = (.75a0 + .75a1 + .25a2)/1.75. Region row 0
+        # is only ever consumed when it IS the true image edge (crop at 0
+        # => anchor at 0 — data/dct_train.region_anchor), so the fixup is
+        # exact; the last row is never consumed (offset bounds).
+        first = (0.75 * a[0] + 0.75 * a[1] + 0.25 * a[2]) / 1.75
+        return out.at[0].set(first)
+
+    x = ds_rows(x)
+    return ds_rows(x.swapaxes(0, 1)).swapaxes(0, 1)
+
+
+def _pil_upscale2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact PIL BILINEAR x2: out[2j] = 0.25*src[j-1] + 0.75*src[j],
+    out[2j+1] = 0.75*src[j] + 0.25*src[j+1], edges clamped. (h, w, C) ->
+    (2h, 2w, C)."""
+
+    def us_rows(a):
+        n = a.shape[0]
+        ap = jnp.concatenate([a[:1], a, a[-1:]], axis=0)
+        even = 0.25 * ap[0:n] + 0.75 * ap[1:n + 1]
+        odd = 0.75 * ap[1:n + 1] + 0.25 * ap[2:n + 2]
+        return jnp.stack([even, odd], axis=1).reshape((2 * n,) + a.shape[1:])
+
+    x = us_rows(x)
+    return us_rows(x.swapaxes(0, 1)).swapaxes(0, 1)
+
+
+def device_augment_dct(batch: dict, cfg: DetectorConfig,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Device half of the jpegdct TRAIN wire (host half: data/dct_train.py):
+    dequant + IDCT + chroma upsample of the shipped source region, then the
+    reference's resize/crop/paste/flip (wider_face.py:133-165) fused into
+    the train step. Geometry is driven by host-computed draws (aug_scale,
+    aug_off, paste_box, flip) so it matches the host pixel path exactly.
+
+    Returns normalized (B, ih, iw, 3). All three scale branches are
+    computed and selected per sample (cheap: slices + separable 4-tap
+    filters, negligible vs the ResNet-101 step); data-dependent control
+    flow would break XLA's single-trace compilation."""
+    from tinyfaces_tpu.data.dct_train import TRAIN_REGION, upsample_src
+    from tinyfaces_tpu.ops.jpeg import dct_batch_to_normalized
+
+    ih, iw = cfg.input_size
+    s2h, s2w = upsample_src(ih), upsample_src(iw)
+    region = dct_batch_to_normalized(
+        {"_wire": batch["dct_wire"]}, TRAIN_REGION, TRAIN_REGION, dtype=dtype)
+    # The canvas fill, in normalized space: MEAN_PIXEL is the uint8
+    # ImageNet mean the host path paints before normalize (int-truncated,
+    # wider_face.MEAN_PIXEL — same constant, same rounding).
+    from tinyfaces_tpu.data.wider_face import MEAN_PIXEL
+
+    mean_pixel = jnp.asarray(MEAN_PIXEL, dtype) / 255.0
+    norm_mean = ((mean_pixel - jnp.asarray(IMAGENET_MEAN, dtype))
+                 / jnp.asarray(IMAGENET_STD, dtype))
+
+    def one(xi, sid, off, pb, fl):
+        c1 = jax.lax.dynamic_slice(xi, (off[0], off[1], 0), (ih, iw, 3))
+        half = _pil_downscale2(xi)
+        c0 = jax.lax.dynamic_slice(half, (off[0], off[1], 0), (ih, iw, 3))
+        up = _pil_upscale2(xi[:s2h, :s2w])
+        c2 = jax.lax.dynamic_slice(up, (off[0], off[1], 0), (ih, iw, 3))
+        content = jnp.where(sid == 0, c0, jnp.where(sid == 1, c1, c2))
+        # Paste at (px, py): roll + mask == dynamic_update_slice without
+        # its start-clamping pitfalls; rolled wrap-around lands outside
+        # the paste box where the mask writes the canvas fill.
+        px = pb[0].astype(jnp.int32)
+        py = pb[1].astype(jnp.int32)
+        content = jnp.roll(content, (py, px), axis=(0, 1))
+        rows = jnp.arange(ih, dtype=jnp.float32)[:, None]
+        cols = jnp.arange(iw, dtype=jnp.float32)[None, :]
+        m = ((rows >= pb[1]) & (rows < pb[3])
+             & (cols >= pb[0]) & (cols < pb[2]))
+        out = jnp.where(m[..., None], content, norm_mean)
+        return jnp.where(fl, out[:, ::-1], out)
+
+    return jax.vmap(one)(region, batch["aug_scale"], batch["aug_off"],
+                         batch["paste_box"], batch["flip"])
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def build_targets(
     batch: dict,
@@ -86,7 +179,11 @@ def build_targets(
     ofy, ofx = cfg.rf.offset
     sty, stx = cfg.rf.stride
 
-    if "image_y" in batch:
+    if "dct_wire" in batch:
+        # jpegdct train wire: coefficient region + device-side augmentation
+        # (resize/crop/paste/flip) fused into this program.
+        images = device_augment_dct(batch, cfg)
+    elif "image_y" in batch:
         # YUV420-packed wire format (PrefetchLoader pack="yuv420"): halve
         # the train-input H2D bytes; colorspace conversion fuses here.
         images = yuv420_to_normalized(

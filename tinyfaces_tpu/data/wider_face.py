@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Iterator, List, Optional
+from typing import Iterator, List, NamedTuple, Optional
 
 import numpy as np
 
@@ -107,33 +107,30 @@ def _rect_dist_np(clipped: np.ndarray, original: np.ndarray) -> np.ndarray:
 MEAN_PIXEL = tuple(int(m * 255) for m in IMAGENET_MEAN)  # (123, 116, 103)
 
 
-def crop_and_paste(
-    img: np.ndarray,  # (H, W, 3) uint8
+def _crop_params_and_boxes(
+    shape_hw: tuple[int, int],
     bboxes: np.ndarray,  # (N, 4)
     input_size: tuple[int, int],
     neg_thresh: float,
     rng: np.random.Generator,
 ):
-    """Random crop of `input_size`, pasted at a random offset onto a canvas
-    prefilled with the ImageNet mean pixel (processor.py:41-112).
+    """The RNG draws + box math of crop_and_paste, without touching pixels.
 
-    Boxes are shifted into canvas coordinates, clipped, and dropped when the
-    clipped box retains < neg_thresh IoU with the original.
+    Shared by the host pixel path (crop_and_paste) and the jpegdct train
+    wire (data/dct_train.py), which performs the pixel crop/paste on
+    device — both consume identical draws so the augmentation geometry is
+    bit-identical across wires.
     """
     ih, iw = input_size
-    crop_x1 = rng.integers(0, max(1, img.shape[1] - iw + 1))
-    crop_y1 = rng.integers(0, max(1, img.shape[0] - ih + 1))
-    crop_x2 = min(img.shape[1], crop_x1 + iw)
-    crop_y2 = min(img.shape[0], crop_y1 + ih)
+    crop_x1 = int(rng.integers(0, max(1, shape_hw[1] - iw + 1)))
+    crop_y1 = int(rng.integers(0, max(1, shape_hw[0] - ih + 1)))
+    crop_x2 = min(shape_hw[1], crop_x1 + iw)
+    crop_y2 = min(shape_hw[0], crop_y1 + ih)
     ch, cw = crop_y2 - crop_y1, crop_x2 - crop_x1
 
-    px = rng.integers(0, iw - cw + 1)
-    py = rng.integers(0, ih - ch + 1)
+    px = int(rng.integers(0, iw - cw + 1))
+    py = int(rng.integers(0, ih - ch + 1))
     paste_box = np.array([px, py, px + cw, py + ch], np.float32)
-
-    canvas = np.empty((ih, iw, 3), np.uint8)
-    canvas[:] = MEAN_PIXEL
-    canvas[py : py + ch, px : px + cw] = img[crop_y1:crop_y2, crop_x1:crop_x2]
 
     if bboxes.shape[0] > 0:
         clipped = bboxes.copy()
@@ -154,40 +151,91 @@ def crop_and_paste(
         good = (out[:, 2] > out[:, 0]) & (out[:, 3] > out[:, 1]) & (overlap >= neg_thresh)
         bboxes = out[good]
 
+    return bboxes, paste_box, (crop_y1, crop_x1, ch, cw, py, px)
+
+
+def crop_and_paste(
+    img: np.ndarray,  # (H, W, 3) uint8
+    bboxes: np.ndarray,  # (N, 4)
+    input_size: tuple[int, int],
+    neg_thresh: float,
+    rng: np.random.Generator,
+):
+    """Random crop of `input_size`, pasted at a random offset onto a canvas
+    prefilled with the ImageNet mean pixel (processor.py:41-112).
+
+    Boxes are shifted into canvas coordinates, clipped, and dropped when the
+    clipped box retains < neg_thresh IoU with the original.
+    """
+    ih, iw = input_size
+    bboxes, paste_box, (cy, cx, ch, cw, py, px) = _crop_params_and_boxes(
+        img.shape[:2], bboxes, input_size, neg_thresh, rng
+    )
+    canvas = np.empty((ih, iw, 3), np.uint8)
+    canvas[:] = MEAN_PIXEL
+    canvas[py : py + ch, px : px + cw] = img[cy : cy + ch, cx : cx + cw]
     return canvas, bboxes, paste_box
 
 
-def augment_sample(
-    img: np.ndarray,  # (H, W, 3) uint8 decoded image
+class AugDraws(NamedTuple):
+    """All RNG outcomes of one train-time augmentation, pixel-free.
+
+    scale_id: 0 = x0.5, 1 = x1, 2 = x2 (reference wider_face.py:133-143).
+    crop/paste coords are in RESIZED-image coordinates; (rh, rw) are the
+    resized dims the crop was drawn on; (src_h, src_w) the original dims.
+    """
+
+    scale_id: int
+    crop_y1: int
+    crop_x1: int
+    ch: int
+    cw: int
+    py: int
+    px: int
+    flip: bool
+    rh: int
+    rw: int
+    src_h: int
+    src_w: int
+
+
+def augment_draws(
+    shape_hw: tuple[int, int],
     bboxes: np.ndarray,
     cfg: DetectorConfig,
     rng: np.random.Generator,
 ):
-    """Full reference train-time augmentation for one sample
-    (wider_face.py:133-165): random x0.5/x1/x2 resize, crop/paste, flip."""
+    """RNG draws + GT box pipeline of the full train augmentation, without
+    decoding or touching pixels (reference wider_face.py:133-165).
+
+    Returns (AugDraws, gt (max_gt,4), gt_valid (max_gt,), paste_box (4,)).
+    augment_sample applies the pixel ops on the host; the jpegdct train
+    wire (data/dct_train.py + data/targets.py) applies them on device —
+    both consume this function, so boxes/paste/flip are bit-identical
+    across wire formats and only pixel filtering differs.
+    """
+    h, w = int(shape_hw[0]), int(shape_hw[1])
     r = rng.random()
-    if r < 1 / 3 and min(img.shape[:2]) >= 2:
-        new_hw = (int(0.5 * img.shape[0]), int(0.5 * img.shape[1]))
-        img = _resize_uint8(img, new_hw)
+    if r < 1 / 3 and min(h, w) >= 2:
+        scale_id, rh, rw = 0, int(0.5 * h), int(0.5 * w)
         bboxes = bboxes / 2.0
     elif r > 2 / 3:
-        new_hw = (2 * img.shape[0], 2 * img.shape[1])
-        img = _resize_uint8(img, new_hw)
+        scale_id, rh, rw = 2, 2 * h, 2 * w
         bboxes = bboxes * 2.0
+    else:
+        scale_id, rh, rw = 1, h, w
 
-    canvas, bboxes, paste_box = crop_and_paste(
-        img, bboxes, cfg.input_size, cfg.neg_thresh, rng
+    bboxes, paste_box, (cy, cx, ch, cw, py, px) = _crop_params_and_boxes(
+        (rh, rw), bboxes, cfg.input_size, cfg.neg_thresh, rng
     )
 
     flip = bool(rng.random() > 0.5)
-    if flip:
-        canvas = canvas[:, ::-1].copy()
-        if bboxes.shape[0] > 0:
-            x1 = bboxes[:, 0].copy()
-            x2 = bboxes[:, 2].copy()
-            # MATLAB-indexing-aware mirror (wider_face.py:160-163).
-            bboxes[:, 0] = cfg.input_size[1] - x2 + 1
-            bboxes[:, 2] = cfg.input_size[1] - x1 + 1
+    if flip and bboxes.shape[0] > 0:
+        x1 = bboxes[:, 0].copy()
+        x2 = bboxes[:, 2].copy()
+        # MATLAB-indexing-aware mirror (wider_face.py:160-163).
+        bboxes[:, 0] = cfg.input_size[1] - x2 + 1
+        bboxes[:, 2] = cfg.input_size[1] - x1 + 1
 
     # Pad GT to the static bound; truncation is counted, never silent
     # (the reference handles unbounded counts, processor.py:213-277).
@@ -200,7 +248,33 @@ def augment_sample(
     gt_valid = np.zeros(cfg.max_gt, bool)
     gt_valid[:n] = True
 
-    return canvas, gt, gt_valid, paste_box, flip
+    draws = AugDraws(scale_id, cy, cx, ch, cw, py, px, flip, rh, rw, h, w)
+    return draws, gt, gt_valid, paste_box
+
+
+def augment_sample(
+    img: np.ndarray,  # (H, W, 3) uint8 decoded image
+    bboxes: np.ndarray,
+    cfg: DetectorConfig,
+    rng: np.random.Generator,
+):
+    """Full reference train-time augmentation for one sample
+    (wider_face.py:133-165): random x0.5/x1/x2 resize, crop/paste, flip."""
+    d, gt, gt_valid, paste_box = augment_draws(img.shape[:2], bboxes, cfg, rng)
+
+    if d.scale_id != 1:
+        img = _resize_uint8(img, (d.rh, d.rw))
+
+    ih, iw = cfg.input_size
+    canvas = np.empty((ih, iw, 3), np.uint8)
+    canvas[:] = MEAN_PIXEL
+    canvas[d.py : d.py + d.ch, d.px : d.px + d.cw] = img[
+        d.crop_y1 : d.crop_y1 + d.ch, d.crop_x1 : d.crop_x1 + d.cw
+    ]
+    if d.flip:
+        canvas = canvas[:, ::-1].copy()
+
+    return canvas, gt, gt_valid, paste_box, d.flip
 
 
 def _resize_uint8(img: np.ndarray, new_hw: tuple[int, int]) -> np.ndarray:
@@ -290,6 +364,24 @@ class WIDERFace:
         if jpeg_dims(data) is not None:
             return data, self.samples[idx].img_path
         return parse_jpeg_dct(data), self.samples[idx].img_path
+
+    def getitem_train_dct(self, idx: int) -> dict:
+        """Train sample on the jpegdct wire (data/dct_train.py): ships DCT
+        coefficients of the augmentation source region; pixels never decode
+        on the host. Entropy-decoded coefficients are cached per process
+        (decode is deterministic; augmentation draws are not), so epochs
+        after the first cost only the coefficient crop + pack."""
+        from tinyfaces_tpu.data import dct_train
+
+        if not hasattr(self, "_dct_cache"):
+            self._dct_cache = dct_train.CoefCache()
+        sample = self.samples[idx]
+        dct = self._dct_cache.get(
+            idx, lambda: dct_train.decode_dct(self.image_path(idx).read_bytes())
+        )
+        return dct_train.train_item_dct(
+            dct, sample.bboxes.copy(), self.cfg, self.sample_rng(idx)
+        )
 
     def get_all_bboxes(self) -> np.ndarray:
         """All train GT boxes — input to offline template clustering

@@ -409,8 +409,9 @@ class Trainer:
                 batch = host_local_batch(host_batch, self.mesh)
             else:
                 batch = shard_batch(host_batch, self.mesh)
-            n_local = host_batch.get(
-                "image", host_batch.get("image_y")
+            n_local = next(
+                host_batch[k] for k in ("image", "image_y", "dct_wire")
+                if k in host_batch
             ).shape[0]
             return batch, n_local
 

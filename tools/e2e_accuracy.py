@@ -52,7 +52,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def make_val_tree(root: Path, n_images: int, seed: int,
-                  size: tuple[int, int] = (768, 1024)) -> Path:
+                  size: tuple[int, int] = (768, 1024),
+                  distribution: str = "hard") -> Path:
     """Held-out WIDER val split from the SAME face distribution as the
     train tree (paint_faces), at a fixed canvas size: 768x1024 is its own
     shape bucket (evaluation._round_up), so the whole sweep runs on the
@@ -65,7 +66,7 @@ def make_val_tree(root: Path, n_images: int, seed: int,
     lines = []
     h, w = size
     for i in range(n_images):
-        img, boxes = paint_faces(rng, h, w)
+        img, boxes = paint_faces(rng, h, w, distribution)
         name = f"val_{i:05d}.jpg"
         Image.fromarray(img).save(d / name, quality=88)
         lines.append(f"0--Soak/{name}")
@@ -98,27 +99,93 @@ def main():
                          "(harness smoke test; the real run uses the TPU)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the checkpoint already in workdir/weights")
+    ap.add_argument("--sigterm-epoch", type=int, default=-1,
+                    help="SIGTERM the first training run during this epoch "
+                         "and resume from the emergency checkpoint "
+                         "(the full-schedule protocol, VERDICT r4 #4: "
+                         "e.g. --epochs 50 --sigterm-epoch 22 crosses the "
+                         "epoch-20 StepLR decay, seams mid-schedule, and "
+                         "crosses epoch 40 in the resumed run)")
+    ap.add_argument("--distribution", default="hard",
+                    choices=("hard", "easy"),
+                    help="painted-face distribution (hard = WIDER-like "
+                         "small-face tail + crowds, the r5 default; easy "
+                         "= the r4 distribution)")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     tree = workdir / "wider"
     marker = tree / (f".gen_{args.train_images}_{args.val_images}"
-                     f"_{args.val_size.lower()}")
+                     f"_{args.val_size.lower()}_{args.distribution}")
     if not marker.exists():
         print(f"[e2e] generating {args.train_images}-image train + "
-              f"{args.val_images}-image val trees…", flush=True)
+              f"{args.val_images}-image val trees "
+              f"({args.distribution})…", flush=True)
         vh, vw = (int(v) for v in args.val_size.lower().split("x"))
-        make_wider_tree(tree, args.train_images, seed=0)
-        make_val_tree(tree, args.val_images, seed=4242, size=(vh, vw))
+        make_wider_tree(tree, args.train_images, seed=0,
+                        distribution=args.distribution)
+        make_val_tree(tree, args.val_images, seed=4242, size=(vh, vw),
+                      distribution=args.distribution)
         marker.touch()
 
     t_start = time.time()
     ckpt = workdir / "weights" / f"checkpoint_{args.epochs}"
     metrics = workdir / "metrics.jsonl"
+    seam = None
     if args.skip_train and ckpt.exists():
         print(f"[e2e] --skip-train: reusing {ckpt}", flush=True)
         rows = parse_metrics(metrics)
+    elif args.sigterm_epoch >= 0:
+        # Full-schedule protocol: run 1 -> SIGTERM mid-schedule ->
+        # emergency checkpoint -> run 2 --resume to the end. Metrics from
+        # both runs are merged (and copied to metrics.jsonl for
+        # --skip-train reruns).
+        m1 = workdir / "metrics_run1.jsonl"
+        m2 = workdir / "metrics_run2.jsonl"
+        m1.unlink(missing_ok=True)
+        m2.unlink(missing_ok=True)
+        print(f"[e2e] training {args.epochs} epochs x "
+              f"{args.train_images // args.batch} steps, SIGTERM during "
+              f"epoch {args.sigterm_epoch}…", flush=True)
+        rc1, _ = run_main(tree, workdir, m1, args.epochs, args.batch,
+                          ["--arch", args.arch,
+                           "--save-every", str(args.epochs)],
+                          sigterm_epoch=args.sigterm_epoch, cpu=args.cpu)
+        ckpts = sorted((workdir / "weights").glob("checkpoint_*"),
+                       key=lambda p: int(p.name.split("_")[1]))
+        if not ckpts:
+            raise RuntimeError(f"no emergency checkpoint (rc={rc1}); "
+                               f"see {workdir}")
+        resume = ckpts[-1]
+        print(f"[e2e] resuming from {resume.name}…", flush=True)
+        rc2, _ = run_main(tree, workdir, m2, args.epochs, args.batch,
+                          ["--arch", args.arch,
+                           "--save-every", str(args.epochs),
+                           "--resume", str(resume)], cpu=args.cpu)
+        if rc2 != 0:
+            raise RuntimeError(f"resume run failed rc={rc2}; see {workdir}")
+        if not ckpt.exists():
+            raise RuntimeError(f"no final checkpoint at {ckpt}")
+        rows1, rows2 = parse_metrics(m1), parse_metrics(m2)
+        s1 = [r for r in rows1 if r.get("event") != "epoch_end"]
+        s2 = [r for r in rows2 if r.get("event") != "epoch_end"]
+
+        def _l(r):
+            return r.get("loss_cls_step") or r["loss_cls"]
+
+        seam = {
+            "sigterm_epoch": args.sigterm_epoch,
+            "emergency_checkpoint": resume.name,
+            "resumed_at_epoch": s2[0]["epoch"] if s2 else None,
+            "seam_loss_ratio": round(
+                float(np.mean([_l(r) for r in s2[:3]])
+                      / max(np.mean([_l(r) for r in s1[-3:]]), 1e-9)), 3)
+            if s1 and s2 else None,
+        }
+        rows = rows1 + rows2
+        metrics.write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n")
     else:
         print(f"[e2e] training {args.epochs} epochs x "
               f"{args.train_images // args.batch} steps…", flush=True)
@@ -142,6 +209,7 @@ def main():
     scores_json = workdir / "parity_scores.json"
     cmd = [sys.executable, str(REPO / "tools" / "parity_run.py"),
            "--dataset-root", str(tree), "--checkpoint", str(ckpt),
+           "--arch", args.arch,
            "--ab-images", "0", "--resample", "linear",
            "--transfer", "jpegdct", "--bf16",
            "--prob_thresh", str(args.prob_thresh),
@@ -174,17 +242,28 @@ def main():
 
     first = [_loss(r) for r in steps[:3]]
     last = [_loss(r) for r in steps[-3:]]
+    # Per-epoch mean of the instantaneous loss — the training curve the
+    # r4 verdict asked for (shows the StepLR decays at epochs 20/40).
+    by_epoch: dict = {}
+    for r in steps:
+        by_epoch.setdefault(r["epoch"], []).append(_loss(r))
+    curve = [round(float(np.mean(v)), 2)
+             for _, v in sorted(by_epoch.items())]
     aps = scores["scores"]
     result = {
         "train_images": args.train_images,
         "val_images": args.val_images,
         "total_steps": (args.train_images // args.batch) * args.epochs,
         "batch_size": args.batch,
+        "face_distribution": args.distribution,
         "loss_cls_first_window": round(float(np.mean(first)), 3) if first else None,
         "loss_cls_last_window": round(float(np.mean(last)), 3) if last else None,
+        "loss_cls_per_epoch": curve,
+        "resume_seam": seam,
         "ap": {k: round(float(v), 4) for k, v in aps.items()},
         "splits": "approximate height-band (synthetic data; no official .mat)",
         "eval_images_per_sec": scores.get("images_per_sec"),
+        "eval_link_mib_per_sec": scores.get("link_mib_per_sec"),
         "eval_config": {"transfer": "jpegdct", "bf16": True,
                         "prob_thresh": args.prob_thresh,
                         "eval_batch": args.eval_batch,

@@ -53,7 +53,8 @@ VAL_LADDER = [(768, 1024), (640, 1024), (512, 1024), (896, 1024),
 
 def warm_inference(transfer: str, buckets: list[tuple[int, int]],
                    batches: list[int],
-                   ladder_eval_batch: int = 0) -> None:
+                   ladder_eval_batch: int = 0,
+                   dtype: str = "bf16", resample: str = "linear") -> None:
     import jax.numpy as jnp
     import numpy as np
 
@@ -62,9 +63,11 @@ def warm_inference(transfer: str, buckets: list[tuple[int, int]],
     from tinyfaces_tpu.evaluation import PyramidDetector, get_model
 
     templates = load_templates()
-    model, variables = get_model(num_templates=25, dtype=jnp.bfloat16)
+    model, variables = get_model(
+        num_templates=25,
+        dtype=jnp.float32 if dtype == "fp32" else jnp.bfloat16)
     det = PyramidDetector(model, variables, templates, cfg=DetectorConfig(),
-                          ec=EvalConfig(), transfer=transfer)
+                          ec=EvalConfig(resample=resample), transfer=transfer)
     rng = np.random.default_rng(0)
 
     def make(h, w, n):
@@ -76,7 +79,8 @@ def warm_inference(transfer: str, buckets: list[tuple[int, int]],
             det.detect(imgs[0])
         else:
             det.detect_batch(imgs[:b])
-        log(f"fused pyramid batch-{b} {h}x{w} ({transfer}) compiled")
+        log(f"fused pyramid batch-{b} {h}x{w} "
+            f"({transfer}, {dtype}, {resample}) compiled")
 
     for h, w in buckets:
         imgs = make(h, w, max(batches))
@@ -130,6 +134,24 @@ def warm_train(transfer: str) -> None:
 
         y, u, v = rgb_to_yuv420(batch.pop("image"))
         batch.update(image_y=y, image_u=u, image_v=v)
+    elif transfer in ("jpegdct", "jpegdct4"):
+        # DCT train wire (main.py --transfer jpegdct): device-side decode +
+        # augmentation fused into the step — a different HLO than the
+        # pixel wires.
+        import io
+
+        from PIL import Image
+
+        from tinyfaces_tpu.data.dct_train import decode_dct, train_item_dct
+
+        buf = io.BytesIO()
+        Image.fromarray(batch.pop("image")[0]).save(
+            buf, format="jpeg", quality=88)
+        dct = decode_dct(buf.getvalue())
+        items = [train_item_dct(
+            dct, np.array([[20.0, 20.0, 80.0, 90.0]], np.float32), cfg,
+            np.random.default_rng(i)) for i in range(b)]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
     state, lb = step_fn(state, shard_batch(batch, make_mesh()),
                         jax.random.PRNGKey(1))
     jax.block_until_ready(lb.total)
@@ -162,6 +184,12 @@ def main() -> None:
                          "--eval-batch (default 32 when given bare, matching "
                          "evaluate_model's default) — a full val sweep then "
                          "hits only warm programs")
+    ap.add_argument("--parity-ladder", action="store_true",
+                    help="also compile the reference-exact parity "
+                         "configuration (fp32 + rgb wire + in-program PIL "
+                         "resampling — parity_run's defaults) over the "
+                         "same buckets/ladder, so a real-data mAP parity "
+                         "run hits only warm programs (VERDICT r4 #7)")
     args = ap.parse_args()
 
     from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
@@ -181,6 +209,10 @@ def main() -> None:
         for t in transfers:
             warm_inference(t, buckets, batches,
                            ladder_eval_batch=args.val_ladder)
+        if args.parity_ladder:
+            warm_inference("rgb", buckets, batches,
+                           ladder_eval_batch=args.val_ladder,
+                           dtype="fp32", resample="pil")
     if not args.skip_train:
         for t in transfers:
             warm_train(t)

@@ -39,32 +39,71 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 
 
-def paint_faces(rng: np.random.Generator, h: int, w: int):
+def paint_faces(rng: np.random.Generator, h: int, w: int,
+                distribution: str = "hard"):
     """One synthetic photo with painted face-like blobs (bright ellipse on
-    darker head-box) over a textured background, 2-14 faces at WIDER-like
-    scales (8-160 px). Returns (uint8 HxWx3 image, [(x, y, w, h), ...]) —
-    a consistent local pattern the detector templates can latch onto, shared
-    by the train soak and the e2e accuracy harness so train/val draws come
-    from the same distribution."""
+    darker head-box) over a textured background. Returns (uint8 HxWx3
+    image, [(x, y, w, h), ...]) — a consistent local pattern the detector
+    templates can latch onto, shared by the train soak and the e2e
+    accuracy harness so train/val draws come from the same distribution.
+
+    distribution="hard" (default since r5, VERDICT r4 #4): WIDER-like
+    scale spread — lognormal(2.9, 0.9) clipped to [10, 200] px (median
+    ~18 px, heavy small-face tail like WIDER hard) — plus 25% "crowd"
+    images with an extra 15-45 small (10-36 px) faces in a jittered
+    cluster, and faces may overlap (larger painted first, so small
+    faces partially occlude big ones). "easy" reproduces the r4
+    distribution (2-14 faces, lognormal(3.2, 0.8) in [8, 160],
+    non-overlap-agnostic paint order) for comparability with the r4
+    artifacts."""
     yy, xx = np.mgrid[0:h, 0:w]
     img = (96 + 50 * np.sin(xx / rng.uniform(40, 140))
            + 40 * np.cos(yy / rng.uniform(30, 120)))[..., None]
     img = img + rng.normal(0, 12, (h, w, 3))
-    n_faces = int(rng.integers(2, 15))
-    boxes = []
-    for _ in range(n_faces):
-        s = int(np.clip(rng.lognormal(3.2, 0.8), 8, 160))
-        x = int(rng.integers(0, max(1, w - s)))
-        y = int(rng.integers(0, max(1, h - s)))
+
+    def _paint(x, y, s):
         img[y:y + s, x:x + s] = img[y:y + s, x:x + s] * 0.4 + 60
         cy, cx, r = y + s / 2, x + s / 2, s / 2.2
         mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
         img[mask] = [225, 185, 160]
-        boxes.append((x, y, s, s))
+
+    boxes = []
+    if distribution == "easy":
+        n_faces = int(rng.integers(2, 15))
+        for _ in range(n_faces):
+            s = int(np.clip(rng.lognormal(3.2, 0.8), 8, 160))
+            x = int(rng.integers(0, max(1, w - s)))
+            y = int(rng.integers(0, max(1, h - s)))
+            _paint(x, y, s)
+            boxes.append((x, y, s, s))
+    else:
+        sizes = [int(np.clip(rng.lognormal(2.9, 0.9), 10, 200))
+                 for _ in range(int(rng.integers(2, 15)))]
+        if rng.random() < 0.25:  # crowd: cluster of small faces
+            k = int(rng.integers(15, 46))
+            ccx = rng.integers(0, max(1, w - 200))
+            ccy = rng.integers(0, max(1, h - 200))
+            crowd = []
+            for _ in range(k):
+                s = int(rng.integers(10, 37))
+                x = int(np.clip(ccx + rng.normal(100, 70), 0, max(1, w - s)))
+                y = int(np.clip(ccy + rng.normal(100, 70), 0, max(1, h - s)))
+                crowd.append((x, y, s))
+            sizes_xy = crowd
+        else:
+            sizes_xy = []
+        placed = [(int(rng.integers(0, max(1, w - s))),
+                   int(rng.integers(0, max(1, h - s))), s) for s in sizes]
+        placed += sizes_xy
+        # paint big -> small so small faces stay visible (occlusion)
+        for x, y, s in sorted(placed, key=lambda t: -t[2]):
+            _paint(x, y, s)
+            boxes.append((x, y, s, s))
     return np.clip(img, 0, 255).astype(np.uint8), boxes
 
 
-def make_wider_tree(root: Path, n_images: int, seed: int = 0) -> None:
+def make_wider_tree(root: Path, n_images: int, seed: int = 0,
+                    distribution: str = "hard") -> None:
     """Synthetic WIDER train split built from paint_faces images."""
     from PIL import Image
 
@@ -75,7 +114,7 @@ def make_wider_tree(root: Path, n_images: int, seed: int = 0) -> None:
     for i in range(n_images):
         h = int(rng.integers(420, 760))
         w = int(rng.integers(520, 1000))
-        img, boxes = paint_faces(rng, h, w)
+        img, boxes = paint_faces(rng, h, w, distribution)
         name = f"soak_{i:05d}.jpg"
         Image.fromarray(img).save(d / name, quality=88)
         lines.append(f"0--Soak/{name}")
@@ -89,7 +128,8 @@ def make_wider_tree(root: Path, n_images: int, seed: int = 0) -> None:
 
 def run_main(tree: Path, workdir: Path, metrics: Path, epochs: int,
              batch: int, extra: list[str], sigterm_epoch: int = -1,
-             timeout_s: int = 14400, cpu: bool = False) -> tuple[int, str]:
+             timeout_s: int = 14400, cpu: bool = False,
+             transfer: str = "yuv420") -> tuple[int, str]:
     """Run main.py as a subprocess in `workdir` (checkpoints land in
     workdir/weights). If sigterm_epoch >= 0, SIGTERM the process the first
     time the log shows that epoch training — exercising the emergency
@@ -99,7 +139,7 @@ def run_main(tree: Path, workdir: Path, metrics: Path, epochs: int,
            "--dataset-root", str(tree), "--epochs", str(epochs),
            "--batch_size", str(batch), "--workers", "8",
            "--log-every", "20", "--metrics-log", str(metrics),
-           "--transfer", "yuv420", "--nan-guard", "--save-every", "1000",
+           "--transfer", transfer, "--nan-guard", "--save-every", "1000",
            *extra]
     log_path = workdir / f"main_e{epochs}{'_sig' if sigterm_epoch >= 0 else ''}.log"
     env = dict(os.environ)
@@ -156,6 +196,10 @@ def main():
                     help="force the CPU backend in the child runs (smoke "
                          "testing the harness; the real soak runs on TPU)")
     ap.add_argument("--arch", default="resnet101")
+    ap.add_argument("--transfer", default="yuv420",
+                    choices=("rgb", "yuv420", "jpegdct"),
+                    help="train-input wire (main.py --transfer); jpegdct "
+                         "moves decode+augment on device — the r5 wire")
     args = ap.parse_args()
     sig_epoch = (args.sigterm_epoch if args.sigterm_epoch >= 0
                  else max(1, int(args.epochs * 0.4)))
@@ -178,7 +222,7 @@ def main():
           f"{sig_epoch}", flush=True)
     rc1, log1 = run_main(tree, workdir, metrics1, args.epochs, args.batch,
                          ["--arch", args.arch], sigterm_epoch=sig_epoch,
-                         cpu=args.cpu)
+                         cpu=args.cpu, transfer=args.transfer)
     ckpts = sorted((workdir / "weights").glob("checkpoint_*"),
                    key=lambda p: int(p.name.split("_")[1]))
     assert ckpts, f"no emergency checkpoint written (rc={rc1}); see workdir"
@@ -198,7 +242,7 @@ def main():
           f"{args.epochs}", flush=True)
     rc2, log2 = run_main(tree, workdir, metrics2, args.epochs, args.batch,
                          ["--arch", args.arch, "--resume", str(resume_ckpt)],
-                         cpu=args.cpu)
+                         cpu=args.cpu, transfer=args.transfer)
     rows2 = parse_metrics(metrics2)
     steps2 = [r for r in rows2 if r.get("event") != "epoch_end"]
     epochs2 = [r for r in rows2 if r.get("event") == "epoch_end"]
@@ -236,6 +280,7 @@ def main():
         "total_steps": total_steps,
         "steps_per_epoch": steps_per_epoch,
         "batch_size": args.batch,
+        "transfer": args.transfer,
         "wall_hours": round((time.time() - t_start) / 3600, 2),
         "loss_cls_first_window": round(float(np.mean(first_losses)), 3),
         "loss_cls_last_window": round(float(np.mean(last_losses)), 3),
