@@ -127,6 +127,9 @@ def main(argv=None):
     parser.add_argument("--eval-batch", type=int, default=32,
                         help="device batch per shape bucket (see "
                              "evaluate_model.bucket_batch_for)")
+    parser.add_argument("--arch", default="resnet101",
+                        choices=("resnet101", "resnet50"),
+                        help="backbone of the checkpoint being evaluated")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (the measured-faster eval "
                              "precision, docs/PERF.md round 4c; default "
@@ -165,7 +168,7 @@ def main(argv=None):
 
     model, variables = get_model(
         args.checkpoint or None, num_templates=templates.shape[0],
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, arch=args.arch)
     # resample="pil": the fused sweep runs the reference's PIL-bilinear
     # resampling in-program (ops/pilresize.py) — the A/B below then
     # compares two implementations of the SAME kernel, and the fast
@@ -202,8 +205,13 @@ def main(argv=None):
         import jax as _jax
         import jax.numpy as _jnp
 
-        probe = np.zeros(8 << 20, np.uint8)
-        _jax.block_until_ready(_jnp.asarray(probe))  # warm the path
+        # Distinct random buffers: the transport memoizes identical
+        # transfers, so re-sending one buffer measures the memo cache,
+        # not the link (the r5 e2e artifact recorded a fake 630 MiB/s).
+        rng = np.random.default_rng(int(time.time()))
+        _jax.block_until_ready(
+            _jnp.asarray(rng.integers(0, 256, 8 << 20, np.uint8)))  # warm
+        probe = rng.integers(0, 256, 8 << 20, np.uint8)
         t0 = time.time()
         _jax.block_until_ready(_jnp.asarray(probe))
         link_mbps = round(8 / max(time.time() - t0, 1e-9), 1)
