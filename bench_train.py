@@ -62,9 +62,11 @@ def main():
 
     probe_backend()
 
-    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+    from tinyfaces_tpu.utils.runtime import (enable_compilation_cache,
+                                          warm_d2h_async)
 
     enable_compilation_cache()
+    warm_d2h_async()  # overlap the tunnel's one-time D2H init (PERF 5c)
 
     import jax
     import jax.numpy as jnp

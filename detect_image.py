@@ -47,9 +47,11 @@ def run(model, variables, image, templates, prob_thresh, nms_thresh,
 
 
 def main():
-    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+    from tinyfaces_tpu.utils.runtime import (enable_compilation_cache,
+                                          warm_d2h_async)
 
     enable_compilation_cache()
+    warm_d2h_async()  # overlap the tunnel's one-time D2H init (PERF 5c)
 
     args = arguments()
 

@@ -84,9 +84,11 @@ def arguments(argv=None):
 
 
 def main():
-    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+    from tinyfaces_tpu.utils.runtime import (enable_compilation_cache,
+                                          warm_d2h_async)
 
     enable_compilation_cache()
+    warm_d2h_async()  # overlap the tunnel's one-time D2H init (PERF 5c)
 
     args = arguments()
 

@@ -102,9 +102,12 @@ def main() -> None:
     }
     Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
     print(f"[ap-cost] wrote {args.out}", flush=True)
-    from tinyfaces_tpu.utils.runtime import clean_exit
+    # No jax in this process (children do the device work) — plain exit,
+    # but hard to stay symmetric with the other CLIs if jax got pulled in.
+    import os
 
-    clean_exit()
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -263,6 +263,8 @@ def main():
         "ap": {k: round(float(v), 4) for k, v in aps.items()},
         "splits": "approximate height-band (synthetic data; no official .mat)",
         "eval_images_per_sec": scores.get("images_per_sec"),
+        "eval_images_per_sec_steady": scores.get("images_per_sec_steady"),
+        "eval_first_fetch_s": scores.get("first_fetch_s"),
         "eval_link_mib_per_sec": scores.get("link_mib_per_sec"),
         "eval_config": {"transfer": "jpegdct", "bf16": True,
                         "prob_thresh": args.prob_thresh,

@@ -136,9 +136,11 @@ def main(argv=None):
                              "fp32 preserves reference parity semantics)")
     args = parser.parse_args(argv)
 
-    from tinyfaces_tpu.utils.runtime import enable_compilation_cache
+    from tinyfaces_tpu.utils.runtime import (enable_compilation_cache,
+                                          warm_d2h_async)
 
     enable_compilation_cache()
+    warm_d2h_async()  # overlap the tunnel's one-time D2H init (PERF 5c)
 
     import evaluate_model
     import wider_eval
@@ -225,7 +227,12 @@ def main(argv=None):
                        "val", results_dir=results_dir,
                        eval_batch=args.eval_batch)
     rate = len(dataset) / (time.time() - t0)
-    print(f"[parity-run]    {rate:.2f} img/s")
+    phases = getattr(evaluate_model.run, "last_phases", None) or {}
+    steady = phases.get("images_per_sec_steady")
+    print(f"[parity-run]    {rate:.2f} img/s"
+          + (f" ({steady:.2f} steady-state after the first settle — the "
+             f"first fetch absorbs the once-per-process D2H init, PERF 5c)"
+             if steady else ""))
 
     print("[parity-run] 4/4 scoring")
     results = wider_eval.read_results_dir(results_dir)
@@ -263,6 +270,8 @@ def main(argv=None):
         "verdict": verdict or None,
         "ab_check": ab,
         "images_per_sec": round(rate, 2),
+        "images_per_sec_steady": round(steady, 2) if steady else None,
+        "first_fetch_s": round(phases.get("first_fetch", 0.0), 1) or None,
         "link_mib_per_sec": link_mbps,
         "checkpoint": str(args.checkpoint),
         "synthetic_smoke": bool(args.synthetic),

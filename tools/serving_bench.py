@@ -97,9 +97,12 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    from tinyfaces_tpu.utils.runtime import clean_exit, enable_compilation_cache
+    from tinyfaces_tpu.utils.runtime import (clean_exit,
+                                          enable_compilation_cache,
+                                          warm_d2h_async)
 
     enable_compilation_cache()
+    warm_d2h_async()  # overlap the tunnel's one-time D2H init (PERF 5c)
 
     import io
 
