@@ -250,6 +250,12 @@ def main():
     curve = [round(float(np.mean(v)), 2)
              for _, v in sorted(by_epoch.items())]
     aps = scores["scores"]
+    # Per-height-band recall: attributes an AP plateau to where the miss
+    # mass lives (tiny-face recall vs matching/regression) — VERDICT r4 #4.
+    from recall_bands import recall_bands
+
+    bands = recall_bands(workdir / "parity_val_results",
+                         tree / "wider_face_split" / "wider_face_val_bbx_gt.txt")
     result = {
         "train_images": args.train_images,
         "val_images": args.val_images,
@@ -261,6 +267,7 @@ def main():
         "loss_cls_per_epoch": curve,
         "resume_seam": seam,
         "ap": {k: round(float(v), 4) for k, v in aps.items()},
+        "recall_by_height": bands,
         "splits": "approximate height-band (synthetic data; no official .mat)",
         "eval_images_per_sec": scores.get("images_per_sec"),
         "eval_images_per_sec_steady": scores.get("images_per_sec_steady"),
