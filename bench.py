@@ -169,7 +169,12 @@ def main():
     # memoizes identical transfers) for congestion attribution. The e2e
     # number is wire-bound (docs/PERF.md): at 0.58 B/px jpegdct needs
     # ~0.45 MB/img, so link_MBps / 0.45 bounds achievable img/s.
-    probe = np.random.default_rng(1).integers(0, 255, (8 << 20,), np.uint8)
+    # Warm put first: the timed put must not absorb device-queue syncs
+    # (e.g. the once-per-process D2H init, PERF 5c — an r5 run recorded
+    # "0 MiB/s" because the probe's block_until_ready queued behind it).
+    prng = np.random.default_rng(1)
+    jnp.asarray(prng.integers(0, 255, (8 << 20,), np.uint8)).block_until_ready()
+    probe = prng.integers(0, 255, (8 << 20,), np.uint8)
     t0 = time.time()
     jnp.asarray(probe).block_until_ready()
     link_mbps = 8.0 / max(time.time() - t0, 1e-9)

@@ -82,6 +82,15 @@ def arguments(argv=None):
                              "PIL-bilinear-matched on the uint8 grid "
                              "(reference resampling fused in-program; "
                              "requires --transfer rgb)")
+    parser.add_argument("--template-pruning", default="reference",
+                        choices=("reference", "natural"),
+                        help="per-scale template pruning: reference "
+                             "(default) reproduces models/utils.py:15-44 "
+                             "incl. its dead branch (type-B 19-37 px "
+                             "templates never fire); natural enables "
+                             "type-B at upsampled scales, as the branch "
+                             "intends (Hu's MATLAB) — lifts tiny-face "
+                             "recall, off by default for parity")
     parser.add_argument("--transfer", default="jpegdct",
                         choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
                         help="fused-path wire format. jpegdct (default — "
@@ -389,7 +398,9 @@ def main():
         mesh = make_mesh(devices)
 
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig(resample=args.resample),
+                               ec=EvalConfig(
+                                   resample=args.resample,
+                                   template_pruning=args.template_pruning),
                                transfer=args.transfer,
                                mesh=mesh, shard=args.shard)
     run(

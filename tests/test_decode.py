@@ -14,6 +14,48 @@ def test_template_pruning_reproduces_reference_dead_branch():
         np.testing.assert_array_equal(np.where(mask)[0], np.arange(4, 12))
 
 
+def test_template_pruning_natural_enables_type_b_at_upsampled_scales():
+    """pruning="natural" (the reference branch's intent / Hu's MATLAB):
+    the type-B tiny templates (18..24, natural scale 2.0) fire at pyramid
+    scales > 1 only; downsampled/identity levels match the reference mask.
+    The default remains the reference dead-branch behavior."""
+    templates = load_templates()
+    for scale in (0.25, 0.5, 1.0):
+        np.testing.assert_array_equal(
+            valid_template_mask(templates, scale, pruning="natural"),
+            valid_template_mask(templates, scale))
+    mask2 = valid_template_mask(templates, 2.0, pruning="natural")
+    np.testing.assert_array_equal(
+        np.where(mask2)[0],
+        np.concatenate([np.arange(4, 12), np.arange(18, 25)]))
+    # default arg is the reference behavior
+    np.testing.assert_array_equal(
+        valid_template_mask(templates, 2.0),
+        valid_template_mask(templates, 2.0, pruning="reference"))
+
+
+def test_decode_emits_type_b_under_natural_pruning():
+    """A peak on a type-B channel is decoded under natural pruning at an
+    upsampled scale, and suppressed under reference pruning."""
+    import jax
+
+    templates = load_templates()
+    nt = templates.shape[0]
+    out = _make_output(10, 12, nt, [(4, 6, 20, 3.0)])  # type-B id 20
+
+    def run(pruning):
+        vids = tuple(int(i) for i in np.nonzero(
+            valid_template_mask(templates, 2.0, pruning=pruning))[0])
+        return decode_scores(
+            jnp.asarray(out), jnp.asarray(templates, jnp.float32), None,
+            prob_thresh=0.5, stride=8.0, offset=-1.0, scale=2.0, k=5,
+            valid_ids=vids,
+        )
+
+    assert int(run("natural").valid.sum()) == 1
+    assert int(run("reference").valid.sum()) == 0
+
+
 def _make_output(h, w, nt, peaks):
     """Score map with logit peaks at given (y, x, t) and -10 elsewhere."""
     out = np.full((h, w, 5 * nt), 0.0, np.float32)

@@ -340,3 +340,33 @@ def test_pack_inputs_roundtrip_all_transfers():
         b = det._fetch(det.detect_batch_async(
             packed, prob_thresh=0.1, scales=(0,)))[0]
         np.testing.assert_allclose(a, b, err_msg=transfer)
+
+
+def test_natural_pruning_detector_runs_and_supersets_channels():
+    """A PyramidDetector with ec.template_pruning="natural" compiles and
+    detects; at the +1 (2x) pyramid scale its decode sees the type-B
+    channels (18..24) that the reference pruning zeroes. With a random
+    tiny model both modes must agree on scales <= 1 (same valid ids)."""
+    templates = load_templates()
+    model = TinyFacesDetector(stage_sizes=TINY_STAGES)
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0), input_size=(128, 128))
+    variables = {"params": params, "batch_stats": batch_stats}
+    kw = dict(cfg=DetectorConfig(),
+              )
+    ref = PyramidDetector(model, variables, templates,
+                          ec=EvalConfig(max_dets_per_scale=50,
+                                        max_total_dets=50), **kw)
+    nat = PyramidDetector(model, variables, templates,
+                          ec=EvalConfig(max_dets_per_scale=50,
+                                        max_total_dets=50,
+                                        template_pruning="natural"), **kw)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    # scales <= 1: identical masks -> identical detections
+    d_ref = ref.detect(img, prob_thresh=0.05, scales=(-1, 0))
+    d_nat = nat.detect(img, prob_thresh=0.05, scales=(-1, 0))
+    np.testing.assert_allclose(d_ref, d_nat, rtol=0, atol=1e-5)
+    # with the 2x level included the natural mode runs (may emit more)
+    d_nat2 = nat.detect(img, prob_thresh=0.05, scales=(-1, 0, 1))
+    assert d_nat2.shape[1] == 5

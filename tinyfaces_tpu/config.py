@@ -99,6 +99,18 @@ class EvalConfig:
     # (lossy wires defeat the point) and disables fold_stem on the 2x
     # level.
     resample: str = "linear"
+    # Per-scale template pruning. "reference": reproduce models/utils.py:
+    # 15-44 exactly, INCLUDING its dead branch — the type-B (natural-scale
+    # 2.0, 19-37 px) templates are zeroed at every pyramid scale because
+    # every validity test compares their scale column against 1.0, so only
+    # ids 4..11 (32-109 px) ever emit. "natural": the branch as written
+    # intends (and Hu's MATLAB tiny_face_detector does): type-B templates
+    # fire at upsampled scales (scale > 1), where the 2x level's effective
+    # resolution supports them — the templates that exist precisely for
+    # 10-30 px faces (the r5 synthetic recall plateau band, PERF 5d/5g).
+    # All 25 template channels are trained either way (GT assignment uses
+    # the full set), so a reference-trained checkpoint works with both.
+    template_pruning: str = "reference"
     # Hand-written backbone conv kernels were tried and EXCISED after
     # losing their on-chip A/Bs (docs/PERF.md rounds 3-4): width-packed
     # layer1 5% slower e2e (relayout copies + doubled weights); Pallas

@@ -458,7 +458,8 @@ class PyramidDetector:
 
     def _template_mask(self, scale: float) -> np.ndarray:
         if scale not in self._mask_cache:
-            self._mask_cache[scale] = valid_template_mask(self.templates, scale)
+            self._mask_cache[scale] = valid_template_mask(
+                self.templates, scale, pruning=self.ec.template_pruning)
         return self._mask_cache[scale]
 
     def detect(

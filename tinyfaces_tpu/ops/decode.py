@@ -35,18 +35,31 @@ class Detections(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
-def valid_template_mask(templates: np.ndarray, scale: float) -> np.ndarray:
+def valid_template_mask(templates: np.ndarray, scale: float,
+                        pruning: str = "reference") -> np.ndarray:
     """(T,) bool — which templates may fire at this pyramid scale.
 
-    Mirrors models/utils.py:15-44. Static (NumPy) because the pyramid scale
-    set is static per compiled program.
+    pruning="reference" mirrors models/utils.py:15-44 exactly, dead branch
+    included: the type-B ids (18..24, natural scale 2.0 — the 19-37 px
+    tiny-face templates) are compared against 1.0 in every branch and so
+    never fire; only ids 4..11 emit. pruning="natural" applies the
+    pruning those branches intend (Hu's MATLAB tiny_face_detector.m:
+    ignoredTids excludes the small templates only when the image is NOT
+    upsampled): type-B fires at pyramid scales > 1, where the upsampled
+    level's resolution supports the tiny templates. Static (NumPy)
+    because the pyramid scale set is static per compiled program.
     """
     nt = templates.shape[0]
     all_scale_ids = np.arange(4, 12)
     one_scale_ids = np.arange(18, min(25, nt))
     tscales = templates[:, 4]
 
-    if scale < 1:
+    if pruning == "natural":
+        if scale > 1:
+            bad = one_scale_ids[tscales[one_scale_ids] != 2.0]
+        else:
+            bad = one_scale_ids
+    elif scale < 1:
         bad = one_scale_ids[tscales[one_scale_ids] >= 1.0]
     else:  # scale >= 1 — both reference branches test != 1.0
         bad = one_scale_ids[tscales[one_scale_ids] != 1.0]

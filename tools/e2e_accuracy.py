@@ -106,6 +106,12 @@ def main():
                          "e.g. --epochs 50 --sigterm-epoch 22 crosses the "
                          "epoch-20 StepLR decay, seams mid-schedule, and "
                          "crosses epoch 40 in the resumed run)")
+    ap.add_argument("--train-transfer", default="yuv420",
+                    choices=("yuv420", "rgb", "jpegdct"),
+                    help="train input wire passed to main.py --transfer "
+                         "(jpegdct = device-side decode+augment, PERF 5b; "
+                         "the eval leg always uses the production jpegdct "
+                         "wire)")
     ap.add_argument("--distribution", default="hard",
                     choices=("hard", "easy"),
                     help="painted-face distribution (hard = WIDER-like "
@@ -151,7 +157,8 @@ def main():
         rc1, _ = run_main(tree, workdir, m1, args.epochs, args.batch,
                           ["--arch", args.arch,
                            "--save-every", str(args.epochs)],
-                          sigterm_epoch=args.sigterm_epoch, cpu=args.cpu)
+                          sigterm_epoch=args.sigterm_epoch, cpu=args.cpu,
+                          transfer=args.train_transfer)
         ckpts = sorted((workdir / "weights").glob("checkpoint_*"),
                        key=lambda p: int(p.name.split("_")[1]))
         if not ckpts:
@@ -162,7 +169,8 @@ def main():
         rc2, _ = run_main(tree, workdir, m2, args.epochs, args.batch,
                           ["--arch", args.arch,
                            "--save-every", str(args.epochs),
-                           "--resume", str(resume)], cpu=args.cpu)
+                           "--resume", str(resume)], cpu=args.cpu,
+                          transfer=args.train_transfer)
         if rc2 != 0:
             raise RuntimeError(f"resume run failed rc={rc2}; see {workdir}")
         if not ckpt.exists():
@@ -193,7 +201,7 @@ def main():
         rc, log = run_main(tree, workdir, metrics, args.epochs, args.batch,
                            ["--arch", args.arch,
                             "--save-every", str(args.epochs)],
-                           cpu=args.cpu)
+                           cpu=args.cpu, transfer=args.train_transfer)
         if rc != 0:
             raise RuntimeError(f"main.py failed rc={rc}; see {workdir}")
         if not ckpt.exists():
@@ -261,11 +269,19 @@ def main():
         "val_images": args.val_images,
         "total_steps": (args.train_images // args.batch) * args.epochs,
         "batch_size": args.batch,
+        "train_transfer": args.train_transfer,
         "face_distribution": args.distribution,
         "loss_cls_first_window": round(float(np.mean(first)), 3) if first else None,
         "loss_cls_last_window": round(float(np.mean(last)), 3) if last else None,
         "loss_cls_per_epoch": curve,
         "resume_seam": seam,
+        "train_images_per_sec": (lambda v: {
+            "median": round(float(np.median(v)), 1),
+            "min": round(float(np.min(v)), 1),
+            "max": round(float(np.max(v)), 1)} if v else None)(
+            [r["images_per_sec"] for r in rows
+             if r.get("event") == "epoch_end"
+             and r.get("images_per_sec")]),
         "ap": {k: round(float(v), 4) for k, v in aps.items()},
         "recall_by_height": bands,
         "splits": "approximate height-band (synthetic data; no official .mat)",

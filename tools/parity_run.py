@@ -119,6 +119,12 @@ def main(argv=None):
                         choices=("pil", "linear"),
                         help="fused-sweep level resampling; pil (default) "
                              "= reference-matched PIL bilinear on device")
+    parser.add_argument("--template-pruning", default="reference",
+                        choices=("reference", "natural"),
+                        help="reference = the port's dead-branch pruning "
+                             "(parity default); natural = type-B tiny "
+                             "templates fire at upsampled scales (Hu's "
+                             "MATLAB behavior)")
     parser.add_argument("--transfer", default="rgb",
                         choices=("rgb", "yuv420", "jpegdct", "jpegdct4"),
                         help="wire format for the fused sweep (rgb = "
@@ -176,7 +182,9 @@ def main(argv=None):
     # compares two implementations of the SAME kernel, and the fast
     # sweep is the parity configuration rather than a deviation from it.
     detector = PyramidDetector(model, variables, templates, cfg=cfg,
-                               ec=EvalConfig(resample=args.resample),
+                               ec=EvalConfig(
+                                   resample=args.resample,
+                                   template_pruning=args.template_pruning),
                                transfer=args.transfer)
 
     dataset = WIDERFace(valdata, templates, cfg=cfg, dataset_root=root,
@@ -277,6 +285,7 @@ def main(argv=None):
         "synthetic_smoke": bool(args.synthetic),
         "transfer": args.transfer,
         "bf16": bool(args.bf16),
+        "template_pruning": args.template_pruning,
     }
     Path(args.out).write_text(json.dumps(payload, indent=1))
     print(f"[parity-run] wrote {args.out}")

@@ -225,14 +225,17 @@ def main():
                          cpu=args.cpu, transfer=args.transfer)
     ckpts = sorted((workdir / "weights").glob("checkpoint_*"),
                    key=lambda p: int(p.name.split("_")[1]))
-    assert ckpts, f"no emergency checkpoint written (rc={rc1}); see workdir"
+    if not ckpts:
+        raise RuntimeError(
+            f"no emergency checkpoint written (rc={rc1}); see workdir")
     resume_ckpt = ckpts[-1]
     resume_epoch = int(resume_ckpt.name.split("_")[1])
     rows1 = parse_metrics(metrics1)
     steps1 = [r for r in rows1 if r.get("event") != "epoch_end"]
-    assert resume_epoch >= sig_epoch, (
-        f"emergency checkpoint at epoch {resume_epoch} predates the signal "
-        f"epoch {sig_epoch}")
+    if resume_epoch < sig_epoch:
+        raise RuntimeError(
+            f"emergency checkpoint at epoch {resume_epoch} predates the "
+            f"signal epoch {sig_epoch}")
     print(f"[soak] run 1 done rc={rc1}; emergency checkpoint "
           f"{resume_ckpt.name}; {len(steps1)} logged steps", flush=True)
 
@@ -246,10 +249,12 @@ def main():
     rows2 = parse_metrics(metrics2)
     steps2 = [r for r in rows2 if r.get("event") != "epoch_end"]
     epochs2 = [r for r in rows2 if r.get("event") == "epoch_end"]
-    assert rc2 == 0, f"resume run failed rc={rc2}"
-    assert steps2 and steps2[0]["epoch"] == resume_epoch, (
-        f"resume did not continue from epoch {resume_epoch}: "
-        f"{steps2[:1]}")
+    if rc2 != 0:
+        raise RuntimeError(f"resume run failed rc={rc2}")
+    if not steps2 or steps2[0]["epoch"] != resume_epoch:
+        raise RuntimeError(
+            f"resume did not continue from epoch {resume_epoch}: "
+            f"{steps2[:1]}")
 
     # Loss continuity across the resume seam, on INSTANTANEOUS per-step
     # losses (loss_cls_step, r5): the console `loss_cls` is the
