@@ -292,6 +292,14 @@ def main():
         "images_per_sec_median": round(float(np.median(ips)), 1) if ips else None,
         "images_per_sec_min": round(float(np.min(ips)), 1) if ips else None,
         "images_per_sec_max": round(float(np.max(ips)), 1) if ips else None,
+        # Link-weather attribution (the shared tunnel swings epoch rates
+        # >5x within one soak — round-5c/5a): the full per-epoch series,
+        # plus the same max-plateau statistic bench.py reports (median of
+        # epochs within 15% of the best — what the program sustains when
+        # the link is healthy).
+        "epoch_rates": [round(v, 1) for v in ips],
+        "images_per_sec_plateau": (round(float(np.median(
+            [v for v in ips if v >= 0.85 * max(ips)])), 1) if ips else None),
         "sigterm_epoch": sig_epoch,
         "emergency_checkpoint": resume_ckpt.name,
         "resume_seam_loss_ratio": round(seam_ratio, 3),
